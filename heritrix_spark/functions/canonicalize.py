@@ -1,0 +1,135 @@
+"""URL canonicalization — Heritrix's default rule chain as data.
+
+Reference semantics (NOT code): the default canonicalization policy
+applies, in order (RulesCanonicalizationPolicy.getDefaultRules,
+heritrix3/modules/.../canonicalize/RulesCanonicalizationPolicy.java:89-97):
+
+  1. LowercaseRule            — whole-URL lowercase
+  2. StripUserinfoRule        — drop ``user:pass@`` on http/https/ftp/ftps
+                                (StripUserinfoRule.java:41-43)
+  3. StripWWWNRule            — drop ``www[0-9]*.`` host prefix, only when a
+                                non-empty path/query follows
+                                (StripWWWNRule.java REGEX)
+  4. StripSessionIDs          — jsessionid/phpsessid/sid = 32 alnum,
+                                ASPSESSIONIDxxxxxxxx = 24 alpha
+                                (StripSessionIDs.java BASE/SID/ASPSESSION)
+  5. StripSessionCFIDs        — ``CFID=..&CFTOKEN=..[&jsession=..]``
+                                (StripSessionCFIDs.java REGEX)
+  6. FixupQueryString         — strip trailing ``?``/``?&``, redundant ``&``
+                                right after ``?``, lone trailing ``&``
+                                (FixupQueryString.java canonicalize — a
+                                single if/elseif branch; our four patterns
+                                are mutually exclusive to preserve the
+                                one-branch behavior)
+
+Each rule is "match whole string, keep group1+group2" — exactly the
+shape of ``regexp_replace`` with an anchored pattern. We define the
+rule table once and render it three ways:
+
+- :func:`canonicalize_col`  — chained native ``F.regexp_replace`` Column
+  expressions (JVM-side, whole-stage-codegen; no Python on the hot path),
+- :func:`canonicalize_py`   — plain-Python twin for the oracle simulator,
+- :func:`canonicalize_sql`  — DuckDB SQL twin for the driver's
+  correctness gate.
+
+Patterns are restricted to the Java-regex ∩ RE2 ∩ Python-re subset
+(no backrefs-in-pattern, no lookaround), so all three backends agree.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class StripRule:
+    name: str
+    pattern: str  # anchored; groups 1(+2) are kept
+    groups: int  # 1 or 2
+
+
+# NOTE: rules run after LowercaseRule, but keep (?i) + full char classes so
+# each rule is also correct standalone (Heritrix rules are independently
+# configurable).
+CANON_RULES: tuple[StripRule, ...] = (
+    StripRule(
+        "strip_userinfo",
+        r"(?i)^((?:(?:https?)|(?:ftps?))://)(?:[^/]+@)(.*)$",
+        2,
+    ),
+    StripRule(
+        "strip_wwwn",
+        r"(?i)^(https?://)(?:www[0-9]*\.)([^/]*/.+)$",
+        2,
+    ),
+    StripRule(
+        "strip_sess_base",
+        r"(?i)^(.+)(?:(?:jsessionid)|(?:phpsessid))=[0-9a-zA-Z]{32}(?:&(.*))?$",
+        2,
+    ),
+    StripRule(
+        "strip_sess_sid",
+        r"(?i)^(.+)sid=[0-9a-zA-Z]{32}(?:&(.*))?$",
+        2,
+    ),
+    StripRule(
+        "strip_aspsession",
+        r"(?i)^(.+)aspsessionid[a-zA-Z]{8}=[a-zA-Z]{24}(?:&(.*))?$",
+        2,
+    ),
+    StripRule(
+        "strip_cfids",
+        r"(?i)^(.+)(?:cfid=[^&]+&cftoken=[^&]+(?:jsession=[^&]+)?)(?:&(.*))?$",
+        2,
+    ),
+    # FixupQueryString as four mutually-exclusive patterns (see module doc).
+    StripRule("fixup_qmark_amp_end", r"^(.+)\?&$", 1),
+    StripRule("fixup_qmark_end", r"^(.+)\?$", 1),
+    StripRule("fixup_redundant_amp", r"^(.+\?)&(.+)$", 2),
+    StripRule("fixup_trailing_amp", r"^(.+\?[^&].*)&$", 1),
+)
+
+
+def canonicalize_col(url: Column | str) -> Column:
+    """canon_url as a pure Catalyst expression (lowercase + rule chain)."""
+    col = F.col(url) if isinstance(url, str) else url
+    out = F.lower(col)
+    for rule in CANON_RULES:
+        repl = "$1$2" if rule.groups == 2 else "$1"
+        out = F.regexp_replace(out, rule.pattern, repl)
+    return out
+
+
+_PY_COMPILED = [(re.compile(r.pattern), r.groups) for r in CANON_RULES]
+
+
+def _py_repl(groups: int):
+    def repl(m: re.Match) -> str:
+        parts = [m.group(1) or ""]
+        if groups == 2:
+            parts.append(m.group(2) or "")
+        return "".join(parts)
+
+    return repl
+
+
+def canonicalize_py(url: str) -> str:
+    """Plain-Python twin (used by the oracle simulator and fixtures)."""
+    out = url.lower()
+    for pat, groups in _PY_COMPILED:
+        out = pat.sub(_py_repl(groups), out, count=1)
+    return out
+
+
+def canonicalize_sql(expr: str) -> str:
+    """DuckDB SQL twin: renders the same chain over SQL expression `expr`."""
+    out = f"lower({expr})"
+    for rule in CANON_RULES:
+        pat = rule.pattern.replace("'", "''")
+        repl = r"\1\2" if rule.groups == 2 else r"\1"
+        out = f"regexp_replace({out}, '{pat}', '{repl}')"
+    return out

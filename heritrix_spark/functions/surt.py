@@ -1,0 +1,138 @@
+"""SURT (Sort-friendly URI Reordering Transform) + queue-key policies.
+
+Reference semantics: ``SURT.fromURI`` (heritrix3/commons/.../util/SURT.java:101-160)
+splits an authority-based URI with URI_SPLITTER into
+(scheme://, userinfo, @, dotted-quad-host, host, :port, path), then emits
+
+    scheme://( reversed-host-as-csv-with-trailing-comma | ip ) :port @ userinfo ) path
+
+all lowercased; non-matching URIs pass through unchanged; IPv4 hosts are
+NOT reversed. Golden pairs in SURTTest.java:63-106.
+
+Queue keys:
+
+- :func:`class_key_*` — the default SurtAuthorityQueueAssignmentPolicy
+  (heritrix3/engine/.../frontier/SurtAuthorityQueueAssignmentPolicy.java:33-45):
+  substring of the SURT form between ``://(`` and ``)``, with ``:``→``#``;
+  falls back to the literal ``default...`` bucket when there is no
+  well-formed SURT authority.
+- :func:`hostname_class_key_col` — HostnameQueueAssignmentPolicy
+  (HostnameQueueAssignmentPolicy.java:38-57): authority minus userinfo,
+  https without explicit port gets ``#443``, ``:``→``#``.
+
+All three backends (Spark Column / Python / DuckDB SQL) share one
+pattern, restricted to the Java ∩ RE2 ∩ Python regex subset.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Same group layout as the reference URI_SPLITTER (SURT.java:76-80):
+# 1: scheme://  2: userinfo  3: @  4: IPv4 host  5: other host  6: :port  7: path
+SURT_SPLITTER = (
+    r"^(\w+://)(?:([-\w.!~*'()%;:&=+$,]+?)(@))?"
+    r"(?:((?:\d{1,3}\.){3}\d{1,3})|(\S+?))(:\d+)?(/\S*)?$"
+)
+
+# Heritrix's bucket for unkeyable URIs
+# (URIAuthorityBasedQueueAssignmentPolicy DEFAULT_CLASS_KEY).
+DEFAULT_CLASS_KEY = "default..."
+
+_SURT_RE = re.compile(SURT_SPLITTER)
+
+
+# ---------------------------------------------------------------- Spark
+
+
+def _x(col: Column, group: int) -> Column:
+    return F.regexp_extract(col, SURT_SPLITTER, group)
+
+
+def surt_col(url: Column | str) -> Column:
+    """SURT form as a native Catalyst expression (no Python)."""
+    col = F.col(url) if isinstance(url, str) else url
+    scheme, userinfo, at = _x(col, 1), _x(col, 2), _x(col, 3)
+    ip, host, port, path = _x(col, 4), _x(col, 5), _x(col, 6), _x(col, 7)
+    revhost = F.when(
+        ip != F.lit(""),
+        ip,
+    ).otherwise(F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(",")))
+    surt = F.lower(
+        F.concat(scheme, F.lit("("), revhost, port, at, userinfo, F.lit(")"), path)
+    )
+    return F.when(col.rlike(SURT_SPLITTER), surt).otherwise(col)
+
+
+def class_key_col(url: Column | str) -> Column:
+    """Default queue key: SURT authority between ``://(`` and ``)``, ``:``→``#``."""
+    s = surt_col(url)
+    auth = F.regexp_extract(s, r"^\w+://\(([^)]+)\)", 1)
+    return F.when(auth == F.lit(""), F.lit(DEFAULT_CLASS_KEY)).otherwise(
+        F.translate(auth, ":", "#")
+    )
+
+
+def hostname_class_key_col(url: Column | str) -> Column:
+    """HostnameQueueAssignmentPolicy: authority-minus-userinfo, https→``#443``."""
+    col = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(col, r"^(\w+)://", 1))
+    auth = F.lower(F.regexp_extract(col, r"^\w+://(?:[^/@]+@)?([^/?#]+)", 1))
+    needs_port = (scheme == F.lit("https")) & ~auth.rlike(r".+:[0-9]+$")
+    keyed = F.when(needs_port, F.concat(auth, F.lit(":443"))).otherwise(auth)
+    return F.when(auth == F.lit(""), F.lit(DEFAULT_CLASS_KEY)).otherwise(
+        F.translate(keyed, ":", "#")
+    )
+
+
+# ---------------------------------------------------------------- Python
+
+
+def surt_py(url: str) -> str:
+    m = _SURT_RE.match(url)
+    if not m:
+        return url
+    scheme, userinfo, at, ip, host, port, path = (m.group(i) or "" for i in range(1, 8))
+    hostpart = ip if ip else ",".join(reversed(host.split("."))) + ","
+    return f"{scheme}({hostpart}{port}{at}{userinfo}){path}".lower()
+
+
+def class_key_py(url: str) -> str:
+    s = surt_py(url)
+    m = re.match(r"^\w+://\(([^)]+)\)", s)
+    if not m:
+        return DEFAULT_CLASS_KEY
+    return m.group(1).replace(":", "#")
+
+
+# ---------------------------------------------------------------- DuckDB SQL
+
+
+def _sql_pat() -> str:
+    return SURT_SPLITTER.replace("'", "''")
+
+
+def surt_sql(expr: str) -> str:
+    pat = _sql_pat()
+    g = lambda i: f"regexp_extract({expr}, '{pat}', {i})"  # noqa: E731
+    revhost = (
+        f"CASE WHEN {g(4)} <> '' THEN {g(4)} "
+        f"ELSE array_to_string(list_reverse(string_split({g(5)}, '.')), ',') || ',' END"
+    )
+    surt = (
+        f"lower({g(1)} || '(' || {revhost} || {g(6)} || {g(3)} || {g(2)} || ')' "
+        f"|| {g(7)})"
+    )
+    return f"CASE WHEN regexp_matches({expr}, '{pat}') THEN {surt} ELSE {expr} END"
+
+
+def class_key_sql(expr: str) -> str:
+    s = surt_sql(expr)
+    auth = f"regexp_extract({s}, '^\\w+://\\(([^)]+)\\)', 1)"
+    return (
+        f"CASE WHEN {auth} = '' THEN '{DEFAULT_CLASS_KEY}' "
+        f"ELSE replace({auth}, ':', '#') END"
+    )

@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the frontier workload.
+
+The settings below are the ones that matter at 10^10-frontier scale and
+are safe (or beneficial) at local test scale too:
+
+- AQE on (runtime coalescing + skew-join splitting — the backstop for
+  hot-host skew, SURVEY.md §4 "parallelQueues" row),
+- runtime bloom-filter join on (Spark-native analog of the reference's
+  BloomUriUniqFilter prefilter in front of the exact seen-set anti-join),
+- Arrow enabled for the few pandas-UDF paths (extraction fallback,
+  bloom sidecar probe),
+- shuffle partitions sized from the cpu budget; at cluster scale this
+  is expected to be overridden via spark-submit conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "heritrix-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,92 @@
+"""Shared constants mirroring the reference's semantic values.
+
+Sources:
+- SchedulingConstants (heritrix3/modules/.../SchedulingConstants.java:32-47)
+- FetchStatusCodes (heritrix3/modules/.../fetcher/FetchStatusCodes.java:35-122)
+- frontier/politeness defaults (DispositionProcessor.java:75-114,
+  AbstractFrontier.java:104-138, WorkQueueFrontier.java:119-170)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# Scheduling directives (coarse priority; lower = more urgent).
+HIGHEST = 0
+HIGH = 1
+MEDIUM = 2
+NORMAL = 3
+
+# Fetch status codes (positive = HTTP/DNS status, negative = internal).
+S_UNATTEMPTED = 0
+S_DOMAIN_UNRESOLVABLE = -1
+S_CONNECT_FAILED = -2
+S_CONNECT_LOST = -3
+S_TIMEOUT = -4
+S_RUNTIME_EXCEPTION = -5
+S_TOO_MANY_RETRIES = -8
+S_DEFERRED = -50
+S_DEEMED_CHAFF = -4000
+S_TOO_MANY_LINK_HOPS = -4001
+S_TOO_MANY_EMBED_HOPS = -4002
+S_OUT_OF_SCOPE = -5000
+S_BLOCKED_BY_USER = -5001
+S_BLOCKED_BY_CUSTOM_PROCESSOR = -5002
+S_BLOCKED_BY_QUOTA = -5003
+S_DELETED_BY_USER = -6000
+S_ROBOTS_PRECLUDED = -9998
+S_NOT_FOUND = 404
+
+# Statuses classified "disregarded" (AbstractFrontier.isDisregarded :1054-1067).
+DISREGARD_STATUSES = (
+    S_ROBOTS_PRECLUDED,
+    S_BLOCKED_BY_CUSTOM_PROCESSOR,
+    S_OUT_OF_SCOPE,
+    S_BLOCKED_BY_USER,
+    S_TOO_MANY_EMBED_HOPS,
+    S_TOO_MANY_LINK_HOPS,
+    S_DELETED_BY_USER,
+)
+
+# Statuses eligible for retry (AbstractFrontier.needsReenqueuing :1078-1111;
+# the 401-with-credentials case is out of scope — no live auth).
+RETRY_STATUSES = (
+    S_DEFERRED,
+    S_CONNECT_FAILED,
+    S_CONNECT_LOST,
+    S_DOMAIN_UNRESOLVABLE,
+)
+
+# Hop characters (modules/.../extractor/Hop.java:31-57).
+HOP_NAVLINK = "L"
+HOP_PREREQ = "P"
+HOP_EMBED = "E"
+HOP_SPECULATIVE = "X"
+HOP_REFER = "R"
+HOP_INFERRED = "I"
+
+MAX_ORDINAL = (1 << 48) - 1  # 48-bit ordinal (CrawlURI.java:253-257)
+
+
+@dataclass(frozen=True)
+class PolitenessConfig:
+    """The "politeness budget" of the north rule (FIXTURES.md §4).
+
+    Defaults = the reference's defaults, cited per field.
+    """
+
+    delay_factor: float = 5.0  # DispositionProcessor.java:75
+    min_delay_ms: int = 3000  # :89
+    max_delay_ms: int = 30000  # :114
+    respect_crawl_delay_up_to_s: int = 300  # :103
+    retry_delay_s: int = 900  # AbstractFrontier.java:104
+    max_retries: int = 30  # AbstractFrontier.java:116
+    session_budget: int = 3000  # WorkQueueFrontier.java:120 (balanceReplenishAmount)
+    error_penalty: int = 100  # WorkQueueFrontier.java:131
+    total_budget: int = -1  # WorkQueueFrontier.java:143 (-1 = unlimited)
+    precedence_floor: int = 255  # WorkQueueFrontier.java:164
+    max_outlinks: int = 6000  # AbstractFrontier.java:138
+    preference_embed_hops: int = 1  # FrontierPreparer preferenceEmbedHops default
+    preference_depth_hops: int = -1  # FrontierPreparer preferenceDepthHops default
+    max_hops: int = 20  # TooManyHopsDecideRule default maxHops
+    n_seen_shards: int = 64  # url_seen hash shards (ours; scale knob)

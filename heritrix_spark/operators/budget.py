@@ -1,0 +1,108 @@
+"""Disposition classification, retries, and per-queue budgets.
+
+Reference semantics:
+- success = fetch_status > 0 (CrawlURI.isSuccess :942-952; the
+  401-with-credentials carve-out needs live auth and is out of scope);
+- disregarded statuses (AbstractFrontier.isDisregarded :1054-1067) —
+  robots-precluded, out-of-scope, blocked, too-many-hops, deleted —
+  are neither success nor failure and expend no cost (processFinish
+  journals 'Fd' with cost 0);
+- retry (AbstractFrontier.needsReenqueuing :1078-1111): deferred /
+  connect-failed / connect-lost / DNS-fail, while attempts < max_retries
+  (:863 overMaxRetries); retry delay = retry_delay_s for those statuses,
+  0 otherwise (retryDelayFor :836-841);
+- queue expenditure: success/failure expend the URI's holder cost;
+  failures add error_penalty (WorkQueue.expend :293-301, noteError
+  :308-311; processFinish :976);
+- session budget: a queue whose expenditure since its last activation
+  exceeds session_budget is deactivated — it must wait for
+  re-activation (WorkQueue.isOverSessionBudget :260-264); total budget
+  exceeded → retired (isOverTotalBudget :271-275, retireQueue :498-509).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from heritrix_spark.constants import (
+    DISREGARD_STATUSES,
+    RETRY_STATUSES,
+    PolitenessConfig,
+)
+
+
+def is_success_col(fetch_status: Column) -> Column:
+    return fetch_status > 0
+
+
+def is_disregarded_col(fetch_status: Column) -> Column:
+    return fetch_status.isin(*DISREGARD_STATUSES)
+
+
+def needs_retry_col(
+    fetch_status: Column, attempts: Column, cfg: PolitenessConfig = PolitenessConfig()
+) -> Column:
+    return fetch_status.isin(*RETRY_STATUSES) & (attempts < F.lit(cfg.max_retries))
+
+
+def retry_delay_ms_col(
+    fetch_status: Column, cfg: PolitenessConfig = PolitenessConfig()
+) -> Column:
+    """retryDelayFor: the standard delay for retryable failures, else 0."""
+    return F.when(
+        fetch_status.isin(*RETRY_STATUSES), F.lit(cfg.retry_delay_s * 1000)
+    ).otherwise(F.lit(0)).cast("long")
+
+
+def disposition_col(fetch_status: Column, attempts: Column,
+                    cfg: PolitenessConfig = PolitenessConfig()) -> Column:
+    """One of 'success' | 'disregard' | 'retry' | 'failure'."""
+    return (
+        F.when(is_success_col(fetch_status), F.lit("success"))
+        .when(is_disregarded_col(fetch_status), F.lit("disregard"))
+        .when(needs_retry_col(fetch_status, attempts, cfg), F.lit("retry"))
+        .otherwise(F.lit("failure"))
+    )
+
+
+def expenditure_col(disposition: Column, cost: Column,
+                    cfg: PolitenessConfig = PolitenessConfig()) -> Column:
+    """Cost charged to the queue for this disposition.
+
+    success → cost; failure → cost + error_penalty; disregard → 0;
+    retry (S_DEFERRED et al.) → cost is expended except for DEFERRED —
+    simplified here to 0 for retries (the URI returns to the queue; the
+    reference expends on non-deferred retries, processFinish :976 — we
+    match that in the round plan where status is known).
+    """
+    return (
+        F.when(disposition == "success", cost)
+        .when(disposition == "failure", cost + F.lit(cfg.error_penalty))
+        .otherwise(F.lit(0))
+    ).cast("long")
+
+
+# ------------------------------------------------------------ Python twins
+
+
+def disposition_py(
+    fetch_status: int, attempts: int, cfg: PolitenessConfig = PolitenessConfig()
+) -> str:
+    if fetch_status > 0:
+        return "success"
+    if fetch_status in DISREGARD_STATUSES:
+        return "disregard"
+    if fetch_status in RETRY_STATUSES and attempts < cfg.max_retries:
+        return "retry"
+    return "failure"
+
+
+def expenditure_py(
+    disposition: str, cost: int, cfg: PolitenessConfig = PolitenessConfig()
+) -> int:
+    if disposition == "success":
+        return cost
+    if disposition == "failure":
+        return cost + cfg.error_penalty
+    return 0

@@ -1,0 +1,125 @@
+"""Outlink extraction from interleaved text+media span documents.
+
+The input binding (BASELINE.json input_hint / FIXTURES.md §1): docs rows
+are ``(doc_id, spans: array<struct<kind, text, media_ref, offset>>)``.
+
+Reference analog (heritrix3/modules/.../extractor/ExtractorHTML.java):
+- ``kind='text'`` spans: URLs embedded in the text are NAVLINK (``L``)
+  outlinks — the href path (processLink :600);
+- ``kind='media'`` spans: ``media_ref`` is an EMBED (``E``) outlink —
+  the src/embed path (processEmbed :628-633);
+- extraction is suppressed for non-2xx/3xx fetches
+  (CandidatesProcessor.innerProcess :160-163 clears outlinks of error
+  pages);
+- at most ``max_outlinks`` (6000, AbstractFrontier.java:138) links per
+  document; the rest are discarded and counted (Link.add2,
+  Link.java:156-165; CrawlURI.incrementDiscardedOutLinks :1705).
+
+Everything is native Catalyst: ``posexplode`` over spans,
+``regexp_extract_all`` for in-text URLs, higher-order ``transform`` to
+tag hop types — no Python on the hot path. Link order within a document
+is (span array position, position within span), which downstream feeds
+the ordinal law (operators/prepare.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# The URL shape recognized inside text spans. Shared with the fixture
+# generator and the oracle simulator; restricted to Java ∩ RE2 ∩ Python.
+URL_IN_TEXT_PATTERN = r"https?://[a-zA-Z0-9.\-]+(?::[0-9]+)?(?:/[^\s\"'<>]*)?"
+
+
+def extract_outlinks(
+    fetched: DataFrame,
+    max_outlinks: int = 6000,
+    url_col: str = "url",
+    ordinal_col: str = "ordinal",
+) -> DataFrame:
+    """fetched(url, ordinal, fetch_status, hops_path, spans, ...) →
+    links(via=url, parent_ordinal, target, hop_char, link_seq).
+
+    Adds nothing for rows whose status is outside [200, 400) or whose
+    spans are null. Returns one row per surviving outlink, capped at
+    ``max_outlinks`` per document in link order, plus a
+    ``discarded_outlinks`` count replicated on each row of its document
+    (0 when under the cap).
+    """
+    eligible = fetched.filter(
+        (F.col("fetch_status") >= 200) & (F.col("fetch_status") < 400)
+    ).filter(F.col("spans").isNotNull())
+
+    spans = eligible.select(
+        F.col(url_col).alias("via"),
+        F.col(ordinal_col).alias("parent_ordinal"),
+        F.col("hops_path").alias("via_hops_path"),
+        F.posexplode("spans").alias("span_pos", "span"),
+    )
+
+    # per-span array<struct<target, hop_char>> in in-span order
+    text_links = F.transform(
+        F.regexp_extract_all(F.col("span.text"), F.lit(URL_IN_TEXT_PATTERN), 0),
+        lambda u: F.struct(u.alias("target"), F.lit("L").alias("hop_char")),
+    )
+    media_links = F.when(
+        F.col("span.media_ref").isNotNull() & (F.col("span.media_ref") != ""),
+        F.array(
+            F.struct(
+                F.col("span.media_ref").alias("target"),
+                F.lit("E").alias("hop_char"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<target:string,hop_char:string>>"))
+
+    span_links = spans.withColumn(
+        "links",
+        F.when(F.col("span.kind") == "text", text_links).otherwise(media_links),
+    )
+
+    links = span_links.select(
+        "via",
+        "parent_ordinal",
+        "via_hops_path",
+        "span_pos",
+        F.posexplode("links").alias("link_pos", "link"),
+    ).select(
+        "via",
+        "parent_ordinal",
+        "via_hops_path",
+        (F.col("span_pos").cast("long") * F.lit(1 << 20) + F.col("link_pos")).alias(
+            "link_seq"
+        ),
+        F.col("link.target").alias("target"),
+        F.col("link.hop_char").alias("hop_char"),
+    )
+
+    # Outlink cap: keep the first max_outlinks per document in link order.
+    # Window is per parent document — bounded cardinality (spans per doc),
+    # never a scale hazard.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("parent_ordinal").orderBy("link_seq")
+    capped = (
+        links.withColumn("__rank", F.row_number().over(w))
+        .withColumn(
+            "discarded_outlinks",
+            F.greatest(
+                F.count("*").over(Window.partitionBy("parent_ordinal"))
+                - F.lit(max_outlinks),
+                F.lit(0),
+            ).cast("int"),
+        )
+        .filter(F.col("__rank") <= max_outlinks)
+        .drop("__rank")
+    )
+    return capped
+
+
+def child_hops_path(parent_hops_path, hop_char):
+    """pathFromSeed of a child = parent path + hop char, with the 50-char
+    overflow encoding (CrawlURI.createCrawlURI :1645 + extendHopsPath :1668)."""
+    from heritrix_spark.functions.hops import extend_hops_path_col
+
+    return extend_hops_path_col(parent_hops_path, hop_char)

@@ -1,0 +1,121 @@
+"""Politeness: robots.txt gating + the post-fetch delay formula.
+
+Robots semantics (heritrix3/modules/.../net/RobotsDirectives.java:39-58):
+a path is allowed iff NOT (longest matching disallow prefix > longest
+matching allow prefix); empty disallow entries are dropped at parse
+time (Robotstxt.java:118-166). Expressed with higher-order array
+functions over the pre-parsed ``robots(class_key, allows, disallows,
+crawl_delay)`` dimension table (FIXTURES.md §3) — JVM-native, no UDF.
+
+Delay formula (DispositionProcessor.politenessDelayFor :231-294):
+
+    d = clamp(delay_factor * fetch_duration_ms, min_delay_ms, max_delay_ms)
+    if d < respect_threshold_ms:
+        d = max(d, min(crawl_delay_ms, respect_threshold_ms))
+
+(bandwidth throttling is modeled as optional and off by default, as in
+the reference where maxPerHostBandwidthUsageKbSec defaults 0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from heritrix_spark.constants import PolitenessConfig
+
+
+def url_path_col(url: Column | str) -> Column:
+    """Path+query part used for robots prefix matching ('/' when empty)."""
+    col = F.col(url) if isinstance(url, str) else url
+    path = F.regexp_extract(col, r"^\w+://[^/]+(/.*)$", 1)
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def _longest_prefix_len(prefixes: Column, path: Column) -> Column:
+    """Length of the longest element of ``prefixes`` that path starts
+    with, 0 if none (RobotsDirectives.longestPrefixLength :49-58)."""
+    matching = F.filter(prefixes, lambda p: path.startswith(p))
+    return F.coalesce(
+        F.array_max(F.transform(matching, lambda p: F.length(p))), F.lit(0)
+    )
+
+
+def robots_allows_col(
+    allows: Column, disallows: Column, path: Column
+) -> Column:
+    """RobotsDirectives.allows (:39-49): NOT (longest disallow > longest
+    allow). Null directive arrays (no robots row) → allowed."""
+    da = _longest_prefix_len(F.coalesce(disallows, F.array()), path)
+    aa = _longest_prefix_len(F.coalesce(allows, F.array()), path)
+    return ~(da > aa)
+
+
+def join_robots(
+    df: DataFrame, robots: DataFrame, class_key: str = "class_key"
+) -> DataFrame:
+    """Broadcast-join the robots dimension and add ``robots_allowed``
+    and ``crawl_delay`` columns. The robots table is per-host — small
+    relative to the frontier — so broadcast keeps this shuffle-free on
+    the candidate side (SURVEY.md §2.3 "broadcast-able")."""
+    r = robots.select(
+        F.col(class_key),
+        F.col("allows").alias("__allows"),
+        F.col("disallows").alias("__disallows"),
+        F.col("crawl_delay").alias("crawl_delay"),
+    )
+    joined = df.join(F.broadcast(r), on=class_key, how="left")
+    path = url_path_col(F.col("url"))
+    return (
+        joined.withColumn(
+            "robots_allowed",
+            robots_allows_col(F.col("__allows"), F.col("__disallows"), path),
+        )
+        .withColumn("crawl_delay", F.coalesce(F.col("crawl_delay"), F.lit(-1.0)))
+        .drop("__allows", "__disallows")
+    )
+
+
+def politeness_delay_col(
+    fetch_duration_ms: Column,
+    crawl_delay_s: Column,
+    cfg: PolitenessConfig = PolitenessConfig(),
+) -> Column:
+    """politenessDelayFor (DispositionProcessor.java:231-294) as one expr."""
+    d = (F.lit(cfg.delay_factor) * fetch_duration_ms).cast("long")
+    d = F.greatest(d, F.lit(cfg.min_delay_ms))
+    d = F.least(d, F.lit(cfg.max_delay_ms))
+    respect = F.lit(cfg.respect_crawl_delay_up_to_s * 1000).cast("long")
+    cd_ms = F.when(crawl_delay_s > 0, (crawl_delay_s * 1000).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    cd_ms = F.least(cd_ms, respect)
+    return F.when((d < respect) & (cd_ms > d), cd_ms).otherwise(d)
+
+
+# ------------------------------------------------------------ Python twins
+# (used by the oracle simulator — heritrix_spark/oracle/simulator.py)
+
+
+def robots_allows_py(allows: list[str], disallows: list[str], path: str) -> bool:
+    def longest(prefixes: list[str]) -> int:
+        lens = [len(p) for p in prefixes if path.startswith(p)]
+        return max(lens) if lens else 0
+
+    return not (longest(disallows or []) > longest(allows or []))
+
+
+def politeness_delay_py(
+    fetch_duration_ms: int,
+    crawl_delay_s: float,
+    cfg: PolitenessConfig = PolitenessConfig(),
+) -> int:
+    d = int(cfg.delay_factor * fetch_duration_ms)
+    d = max(d, cfg.min_delay_ms)
+    d = min(d, cfg.max_delay_ms)
+    respect = cfg.respect_crawl_delay_up_to_s * 1000
+    cd_ms = int(crawl_delay_s * 1000) if crawl_delay_s and crawl_delay_s > 0 else 0
+    cd_ms = min(cd_ms, respect)
+    if d < respect and cd_ms > d:
+        d = cd_ms
+    return d

@@ -1,0 +1,181 @@
+"""Candidate preparation (the reference's FrontierPreparer) + ordinal law.
+
+Reference pipeline (heritrix3/engine/.../prefetch/FrontierPreparer.java:161-179):
+for every candidate URI assign, in order: scheduling directive, canonical
+form, queue key, cost, precedence. Here each is a pure column expression;
+the canonical form / queue key come from ``functions/``.
+
+The **ordinal** (CrawlURI.java:257, 48-bit monotonic discovery serial,
+assigned at AbstractFrontier.prepForFrontier :806-810 from a single
+atomic counter) is the breadth-first tiebreak of the intra-queue order.
+A global atomic counter does not exist on a cluster, so we define the
+*deterministic ordinal law* (SURVEY.md §7 step 3):
+
+    within one scheduling batch, novel candidates are numbered
+    ``base + rank`` where rank is the dense row number under the total
+    order (parent_ordinal, link_seq, canon_url)
+
+— i.e. discovery order = (order the parent was fetched, position of the
+link within the parent's spans, canonical URL as final tiebreak). This
+reproduces the reference's discovery-order semantics for any fixed
+round discretization while being independent of partitioning and
+parallelism level. :func:`assign_ordinals` implements the numbering as a
+range-partitioned distributed row-number (no single-partition window,
+no driver collect of data rows — only one count-per-partition collect),
+so it scales to 10^10 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from heritrix_spark.constants import HIGH, MEDIUM, PolitenessConfig
+from heritrix_spark.functions.hops import trans_hops_col
+
+
+def scheduling_directive_col(
+    hops_path: Column,
+    current_directive: Column,
+    cfg: PolitenessConfig = PolitenessConfig(),
+) -> Column:
+    """FrontierPreparer.getSchedulingDirective (FrontierPreparer.java:188-221).
+
+    - last hop 'R' (redirect) → MEDIUM (HIGH when preferenceDepthHops >= 0)
+    - within preferenceDepthHops of a seed → HIGH
+    - embed trans-hops in (0, preferenceEmbedHops] and currently NORMAL → MEDIUM
+    - else keep current directive.
+    """
+    last_hop = F.substring(hops_path, -1, 1)
+    pd, pe = cfg.preference_depth_hops, cfg.preference_embed_hops
+    redirect_case = F.lit(HIGH) if pd >= 0 else F.lit(MEDIUM)
+    out = F.when((F.length(hops_path) > 0) & (last_hop == "R"), redirect_case)
+    if pd == 0:
+        return out.otherwise(F.lit(HIGH))
+    if pd > 0:
+        out = out.when(F.length(hops_path) + 1 <= pd, F.lit(HIGH))
+    if pe > 0:
+        th = trans_hops_col(hops_path)
+        out = out.when(
+            (th > 0) & (th <= pe) & (current_directive == F.lit(3)), F.lit(MEDIUM)
+        )
+    return out.otherwise(current_directive)
+
+
+# ------------------------------------------------------------------ cost
+
+
+def unit_cost_col() -> Column:
+    """UnitCostAssignmentPolicy (default): cost = 1 (UnitCostAssignmentPolicy.java:34-37)."""
+    return F.lit(1)
+
+
+def wag_cost_col(canon_url: Column) -> Column:
+    """WagCostAssignmentPolicy (WagCostAssignmentPolicy.java:41-64): +1 if
+    the URL has a query string (simplified: the same-path-as-via extra
+    charge needs the via URL; see :func:`wag_cost_with_via_col`)."""
+    return F.lit(1) + F.when(canon_url.contains("?"), F.lit(1)).otherwise(F.lit(0))
+
+
+def wag_cost_with_via_col(canon_url: Column, via: Column) -> Column:
+    """Full Wag policy: +1 for query string, +1 more when the via shares
+    the same path-minus-query (a crawler-trap signature)."""
+    path = F.regexp_extract(canon_url, r"^[^?]*", 0)
+    via_path = F.regexp_extract(via, r"^[^?]*", 0)
+    has_q = canon_url.contains("?")
+    same_path = has_q & via.isNotNull() & (path == via_path)
+    return (
+        F.lit(1)
+        + F.when(has_q, F.lit(1)).otherwise(F.lit(0))
+        + F.when(same_path, F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+CALENDARISH = (
+    r"(?i)(calendar)|(\bdate\b)|(\byear\b)|(\bmonth\b)|(\bday\b)"
+)
+
+
+def anti_calendar_cost_col(canon_url: Column) -> Column:
+    """AntiCalendarCostAssignmentPolicy (AntiCalendarCostAssignmentPolicy.java:41-58):
+    unit cost +1 when the URL looks calendar-generated."""
+    return F.lit(1) + F.when(canon_url.rlike(CALENDARISH), F.lit(1)).otherwise(F.lit(0))
+
+
+# ------------------------------------------------------------ precedence
+
+
+def cost_uri_precedence_col(cost: Column) -> Column:
+    """CostUriPrecedencePolicy (default): precedence = cost
+    (CostUriPrecedencePolicy.java:35-37)."""
+    return cost
+
+
+def base_uri_precedence_col(base: int = 1) -> Column:
+    return F.lit(base)
+
+
+def hops_uri_precedence_col(hops_path: Column, base: int = 1) -> Column:
+    """HopsUriPrecedencePolicy: base + hop count."""
+    from heritrix_spark.functions.hops import hop_count_col
+
+    return F.lit(base) + hop_count_col(hops_path)
+
+
+# -------------------------------------------------------------- ordinals
+
+
+def assign_ordinals(
+    df: DataFrame,
+    order_cols: list[str],
+    base: int = 0,
+    out_col: str = "ordinal",
+    num_buckets: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Number rows ``base + 1 .. base + n`` along the total order of
+    ``order_cols``, without a global single-partition window.
+
+    Mechanism: range-repartition on the order key (bucket i's keys all
+    precede bucket i+1's), sort within partitions, take the
+    within-partition position from ``monotonically_increasing_id`` (which
+    is ``pid << 33 | row_pos`` in plan order), then add per-partition
+    offsets computed from a tiny count-per-partition aggregate. The only
+    driver-side data is one long per partition.
+
+    The result is independent of ``num_buckets`` and of input
+    partitioning because the order is total (callers must include a
+    unique final tiebreak column, e.g. canon_url).
+    """
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ordered = (
+        df.repartitionByRange(num_buckets, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*[F.col(c) for c in order_cols])
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ordered.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    if not counts:  # empty batch
+        return (
+            ordered.drop("__mid", "__pid").withColumn(out_col, F.lit(0).cast("long")),
+            0,
+        )
+    offsets, acc = {}, base
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    local_pos = F.col("__mid") - (F.col("__pid").cast("long") * F.lit(1 << 33))
+    result = (
+        ordered.withColumn(
+            out_col,
+            (offset_map[F.col("__pid")] + local_pos + F.lit(1)).cast("long"),
+        )
+        .drop("__mid", "__pid")
+    )
+    return result, int(sum(counts.values()))

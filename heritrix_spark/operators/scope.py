@@ -1,0 +1,145 @@
+"""Scope = DecideRule chain as a fold of column expressions.
+
+Reference semantics (heritrix3/modules/.../deciderules/DecideRuleSequence.java:78-95):
+rules are evaluated in order; each yields ACCEPT / REJECT / NONE
+(PASS); the **last non-NONE decision wins**. That is a fold, not a
+short-circuit, so we express it as a chain of
+``when(pred, lit(decision))`` overrides applied left-to-right:
+
+    decision = fold(rules, start=REJECT*) where later writes win
+
+(* DecideRuleSequence starts from NONE which the candidate scoper
+treats as not-accepted; seeding the fold with REJECT is equivalent for
+scoping.)
+
+The default crawl scope chain (dist profile
+engine/src/main/resources/.../profile-crawler-beans.cxml:114-183) is
+assembled by :func:`default_scope`, with the SURT-prefix seed scope
+realized as a broadcast-joined prefix match.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from heritrix_spark.constants import PolitenessConfig
+from heritrix_spark.functions.hops import hop_count_col, trans_hops_col
+from heritrix_spark.functions.surt import surt_col
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One DecideRule: when ``predicate`` holds, force ``decision``."""
+
+    name: str
+    predicate: Column
+    decision: bool  # True=ACCEPT, False=REJECT
+
+
+def apply_rules(rules: list[Rule], start: bool = False) -> Column:
+    """Fold the rule list: last matching rule wins (DecideRuleSequence)."""
+    out = F.lit(start)
+    for rule in rules:
+        out = F.when(rule.predicate, F.lit(rule.decision)).otherwise(out)
+    return out
+
+
+# ------------------------------------------------------- individual rules
+
+
+def surt_prefix_predicate(url: Column, prefixes: list[str]) -> Column:
+    """SurtPrefixedDecideRule: SURT form starts with any seed-derived prefix.
+
+    For small prefix sets (the usual case: one prefix per seed host) this
+    compiles to an OR of native ``startswith`` — JVM-side, broadcast-free.
+    For very large seed lists use :func:`surt_prefix_join` instead.
+    """
+    s = surt_col(url)
+    pred = F.lit(False)
+    for p in prefixes:
+        pred = pred | s.startswith(p)
+    return pred
+
+
+def surt_prefix_join(df: DataFrame, url_col: str, prefixes: DataFrame) -> DataFrame:
+    """Large-seed-set variant: broadcast prefix table, prefix-match join.
+
+    ``prefixes`` has one column ``prefix``. Adds boolean ``in_scope``.
+    The broadcast keeps this a map-side operation (no shuffle of df).
+    """
+    s = surt_col(F.col(url_col)).alias("__surt")
+    marked = (
+        df.withColumn("__surt", s)
+        .join(
+            F.broadcast(prefixes.select(F.col("prefix").alias("__prefix"))),
+            on=F.col("__surt").startswith(F.col("__prefix")),
+            how="left",
+        )
+        .withColumn("in_scope", F.col("__prefix").isNotNull())
+    )
+    # a URL may match several prefixes → dedupe back to one row per input row
+    return marked.drop("__prefix").dropDuplicates(df.columns).drop("__surt")
+
+
+def too_many_hops_predicate(hops_path: Column, max_hops: int) -> Column:
+    """TooManyHopsDecideRule: hopCount > maxHops → REJECT."""
+    return hop_count_col(hops_path) > F.lit(max_hops)
+
+
+def transclusion_predicate(hops_path: Column, max_trans_hops: int = 2) -> Column:
+    """TransclusionDecideRule: non-navlink trailing hops within limit →
+    ACCEPT (lets embeds ride along past the link scope)."""
+    th = trans_hops_col(hops_path)
+    return (th > 0) & (th <= F.lit(max_trans_hops))
+
+
+def pathological_path_predicate(url: Column, repetitions: int = 2) -> Column:
+    """PathologicalPathDecideRule: same path segment repeated > n times
+    consecutively (default 2) → REJECT, e.g. /a/a/a/."""
+    pat = r"^[^?]*?/(.+?/)\1{%d,}" % repetitions
+    # Java/RE2 diverge on backrefs (RE2 lacks them); this rule is
+    # Spark-side only (Java regex supports \1).
+    return url.rlike(pat)
+
+
+def too_many_path_segments_predicate(url: Column, max_segments: int = 20) -> Column:
+    """TooManyPathSegmentsDecideRule: count of '/' beyond scheme > n → REJECT."""
+    path = F.regexp_replace(url, r"^\w+://[^/]*", "")
+    slashes = F.length(path) - F.length(F.translate(path, "/", ""))
+    return slashes > F.lit(max_segments)
+
+
+def scheme_not_in_set_predicate(
+    url: Column, schemes: tuple[str, ...] = ("http", "https", "ftp")
+) -> Column:
+    """SchemeNotInSetDecideRule: scheme outside the allowed set → REJECT."""
+    scheme = F.lower(F.regexp_extract(url, r"^(\w+):", 1))
+    return ~scheme.isin(*schemes)
+
+
+def prerequisite_predicate(hops_path: Column) -> Column:
+    """PrerequisiteAcceptDecideRule: path ends with 'P' → ACCEPT."""
+    return F.substring(hops_path, -1, 1) == "P"
+
+
+def default_scope(
+    url: Column,
+    hops_path: Column,
+    seed_surt_prefixes: list[str],
+    cfg: PolitenessConfig = PolitenessConfig(),
+) -> Column:
+    """The default scope chain (profile-crawler-beans.cxml:114-183) as one
+    boolean column: accept iff the last matching rule accepts."""
+    rules = [
+        Rule("surt_prefix", surt_prefix_predicate(url, seed_surt_prefixes), True),
+        Rule("too_many_hops", too_many_hops_predicate(hops_path, cfg.max_hops), False),
+        Rule("transclusion", transclusion_predicate(hops_path), True),
+        Rule("pathological", pathological_path_predicate(url), False),
+        Rule("too_many_segments", too_many_path_segments_predicate(url), False),
+        Rule("prerequisite", prerequisite_predicate(hops_path), True),
+        Rule("scheme", scheme_not_in_set_predicate(url), False),
+    ]
+    return apply_rules(rules, start=False)

@@ -1,0 +1,337 @@
+"""Pure-Python reference simulator — the correctness oracle.
+
+This module *defines* the round-discretized crawl semantics (SURVEY.md
+§3 restated as rounds; §7 hard-part 2). The Spark engine
+(plans/round.py) must reproduce, bit-identically:
+
+- the URL-seen membership set,
+- the per-host fetch order (the (class_key → [canon_url...]) map),
+- every fetch_log row (round, ordinal, directive, precedence, status,
+  disposition, politeness delay).
+
+THE ROUND SPEC (normative):
+
+0. Seeds: canonicalize each seed (reference: FrontierPreparer.prepare),
+   collapse duplicates by canon keeping lowest seq, assign directive =
+   NORMAL, cost = 1 (UnitCostAssignmentPolicy), precedence = cost
+   (CostUriPrecedencePolicy), ordinal = 1..n in (seq) order, hops_path
+   = ''. Insert canons into url_seen. Hosts start wake_time=0,
+   expenditure=0, not retired.
+
+1. A round r (logical clock in ms, starts at 0):
+   eligible = hosts with nonempty queue and not retired. None → done.
+   now_r = max(now_{r-1}, min(wake_time over eligible)).
+   ready  = eligible hosts with wake_time <= now_r.
+   Emit the head of each ready queue: min (directive, precedence,
+   ordinal) — the BdbMultipleWorkQueues.calculateInsertKey order
+   (:425-441). One URI per host per round = the reference's
+   one-in-flight-per-queue politeness serialization
+   (WorkQueueFrontier.findEligibleURI :616-623).
+
+2. Fetch (the docs-table join):
+   - robots check on the canon URL's path (RobotsDirectives.allows
+     :39-49 prefix law) → disallowed: status S_ROBOTS_PRECLUDED,
+     disposition 'disregard', no fetch, no extraction;
+   - doc exists (doc_id == canon_url): status 200,
+     fetch_duration_ms = 10 + ((total_text_len + 7*n_spans) % 491)
+     (deterministic stand-in for wall-clock fetch time);
+   - else status 404, fetch_duration_ms = 25.
+   Disposition: status > 0 → 'success' (CrawlURI.isSuccess :942);
+   disregard statuses per AbstractFrontier.isDisregarded :1054.
+
+3. Extraction (status in [200,400) only): spans in array order;
+   kind='text' → every URL_IN_TEXT_PATTERN match, hop 'L';
+   kind='media' → media_ref, hop 'E'. link_seq = span_pos * 2^20 +
+   pos_within_span. Cap at max_outlinks in link_seq order (discarded
+   counted).
+
+4. Candidates: child hops_path = parent + hop char (50-char overflow
+   law). Scope fold (operators/scope.py default chain) evaluated on
+   the RAW url + child hops_path; out-of-scope dropped (counted).
+   Seed scope prefixes = for each canonicalized seed,
+   surt(seed) truncated after the authority's opening '(' content,
+   WITHOUT the closing paren — i.e. 'http://(example,host000,' —
+   so subdomains stay in scope (Heritrix SurtPrefixSet implied-domain
+   behavior).
+   Then canon = canonicalize(raw); class_key = surt authority of canon
+   (NOTE: the reference keys queues on the raw authority; we key on the
+   canonical form so www-variants fold into one queue — a documented
+   divergence applied identically in engine and oracle);
+   directive: NORMAL unless trailing trans-hops in (0, preference_embed_hops]
+   → MEDIUM (FrontierPreparer.getSchedulingDirective :188-221);
+   cost = 1; precedence = cost.
+
+5. Dedup: collapse batch duplicates by canon keeping the first in
+   (parent_ordinal, link_seq, canon) order; LEFT ANTI against url_seen;
+   novel get ordinal = max_ordinal + rank in the same order, are added
+   to url_seen and appended to the frontier.
+
+6. Host update for each emitting host:
+   'success'/'failure' → expenditure += cost (+error_penalty on
+   failure); wake_time = now_r + politeness_delay(duration, crawl_delay)
+   (DispositionProcessor.politenessDelayFor :231-294).
+   'disregard' → expenditure += 0, wake_time = now_r (no fetch
+   occurred → durationToWait = 0).
+   total_budget >= 0 and expenditure > total_budget → retired
+   (WorkQueue.isOverTotalBudget :271-275).
+   (Session budget is tracked but does not gate: our rounds emit from
+   every ready host, equivalent to unbounded toe threads, under which
+   deactivated queues reactivate immediately — see SURVEY.md §2.5.)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from heritrix_spark.constants import (
+    MEDIUM,
+    NORMAL,
+    S_ROBOTS_PRECLUDED,
+    PolitenessConfig,
+)
+from heritrix_spark.functions.canonicalize import canonicalize_py
+from heritrix_spark.functions.hops import (
+    extend_hops_path_py,
+    hop_count_py,
+    trans_hops_py,
+)
+from heritrix_spark.functions.surt import class_key_py, surt_py
+from heritrix_spark.operators.extract import URL_IN_TEXT_PATTERN
+from heritrix_spark.operators.politeness import (
+    politeness_delay_py,
+    robots_allows_py,
+)
+
+_URL_RE = re.compile(URL_IN_TEXT_PATTERN)
+
+
+@dataclass
+class PendingUri:
+    url: str
+    canon_url: str
+    class_key: str
+    directive: int
+    precedence: int
+    ordinal: int
+    cost: int
+    hops_path: str
+    via: str | None
+    attempts: int = 0
+
+
+@dataclass
+class HostState:
+    wake_time: int = 0
+    total_expenditure: int = 0
+    retired: bool = False
+
+
+@dataclass
+class SimResult:
+    fetch_log: list[dict] = field(default_factory=list)
+    url_seen: set[str] = field(default_factory=set)
+    rounds: int = 0
+    out_of_scope: int = 0
+    dup_dropped: int = 0
+
+    def per_host_order(self) -> dict[str, list[str]]:
+        order: dict[str, list[str]] = {}
+        for row in self.fetch_log:
+            order.setdefault(row["class_key"], []).append(row["canon_url"])
+        return order
+
+
+def seed_scope_prefixes(seed_urls: list[str]) -> list[str]:
+    prefixes = set()
+    for u in seed_urls:
+        s = surt_py(canonicalize_py(u))
+        m = re.match(r"^\w+://\([^)]*,", s)
+        if m:
+            prefixes.add(m.group(0))
+    return sorted(prefixes)
+
+
+def _fetch_duration_ms(spans: list[dict]) -> int:
+    total_text = sum(len(s["text"] or "") for s in spans)
+    return 10 + (total_text + 7 * len(spans)) % 491
+
+
+def _url_path(canon: str) -> str:
+    m = re.match(r"^\w+://[^/]+(/.*)$", canon)
+    return m.group(1) if m else "/"
+
+
+def _in_scope(
+    url: str, hops_path: str, prefixes: list[str], cfg: PolitenessConfig
+) -> bool:
+    """The default_scope fold (operators/scope.py) in Python."""
+    decision = False
+    s = surt_py(url)
+    if any(s.startswith(p) for p in prefixes):
+        decision = True
+    if hop_count_py(hops_path) > cfg.max_hops:
+        decision = False
+    th = trans_hops_py(hops_path)
+    if 0 < th <= 2:
+        decision = True
+    if re.match(r"^[^?]*?/(.+?/)\1{2,}", url):
+        decision = False
+    path_part = re.sub(r"^\w+://[^/]*", "", url)
+    if path_part.count("/") > 20:
+        decision = False
+    if hops_path.endswith("P"):
+        decision = True
+    m = re.match(r"^(\w+):", url)
+    if not m or m.group(1).lower() not in ("http", "https", "ftp"):
+        decision = False
+    return decision
+
+
+def simulate(
+    docs: dict[str, list[dict]],
+    seeds: list[dict],
+    robots: dict[str, dict],
+    cfg: PolitenessConfig = PolitenessConfig(),
+    max_rounds: int = 10_000,
+) -> SimResult:
+    res = SimResult()
+    prefixes = seed_scope_prefixes([s["url"] for s in seeds])
+
+    # --- step 0: seeds
+    queues: dict[str, list[PendingUri]] = {}
+    hosts: dict[str, HostState] = {}
+    max_ordinal = 0
+    for s in sorted(seeds, key=lambda x: x["seq"]):
+        canon = canonicalize_py(s["url"])
+        if canon in res.url_seen:
+            res.dup_dropped += 1
+            continue
+        res.url_seen.add(canon)
+        ck = class_key_py(canon)
+        max_ordinal += 1
+        pu = PendingUri(
+            url=s["url"], canon_url=canon, class_key=ck, directive=NORMAL,
+            precedence=1, ordinal=max_ordinal, cost=1, hops_path="", via=None,
+        )
+        queues.setdefault(ck, []).append(pu)
+        hosts.setdefault(ck, HostState())
+
+    now = 0
+    for round_no in range(1, max_rounds + 1):
+        eligible = [
+            ck for ck, q in queues.items() if q and not hosts[ck].retired
+        ]
+        if not eligible:
+            break
+        now = max(now, min(hosts[ck].wake_time for ck in eligible))
+        ready = [ck for ck in eligible if hosts[ck].wake_time <= now]
+        if not ready:
+            continue  # unreachable: now >= min wake_time
+        res.rounds = round_no
+
+        all_candidates: list[tuple[int, int, str, str, str, str]] = []
+        # (parent_ordinal, link_seq, canon, raw, hop_char_path, via)
+
+        for ck in sorted(ready):
+            q = queues[ck]
+            q.sort(key=lambda p: (p.directive, p.precedence, p.ordinal))
+            uri = q.pop(0)
+            host = hosts[ck]
+
+            rb = robots.get(ck)
+            path = _url_path(uri.canon_url)
+            allowed = (
+                robots_allows_py(rb["allows"], rb["disallows"], path)
+                if rb
+                else True
+            )
+            crawl_delay = rb["crawl_delay"] if rb else -1.0
+
+            spans = docs.get(uri.canon_url)
+            if not allowed:
+                status, duration, disposition = S_ROBOTS_PRECLUDED, 0, "disregard"
+            elif spans is not None:
+                status, duration, disposition = 200, _fetch_duration_ms(spans), "success"
+            else:
+                status, duration, disposition = 404, 25, "success"
+
+            # extraction
+            links: list[tuple[int, str, str]] = []
+            if 200 <= status < 400 and spans:
+                for span_pos, sp in enumerate(spans):
+                    if sp["kind"] == "text":
+                        found = _URL_RE.findall(sp["text"] or "")
+                        for j, u in enumerate(found):
+                            links.append((span_pos * (1 << 20) + j, u, "L"))
+                    else:
+                        if sp["media_ref"]:
+                            links.append((span_pos * (1 << 20), sp["media_ref"], "E"))
+                links = links[: cfg.max_outlinks]
+
+            for link_seq, raw, hop in links:
+                child_hops = extend_hops_path_py(uri.hops_path, hop)
+                if not _in_scope(raw, child_hops, prefixes, cfg):
+                    res.out_of_scope += 1
+                    continue
+                all_candidates.append(
+                    (uri.ordinal, link_seq, canonicalize_py(raw), raw, child_hops,
+                     uri.canon_url)
+                )
+
+            # host/budget update
+            delay = 0
+            if disposition in ("success", "failure"):
+                expend = uri.cost + (cfg.error_penalty if disposition == "failure" else 0)
+                host.total_expenditure += expend
+                delay = politeness_delay_py(duration, crawl_delay, cfg)
+                host.wake_time = now + delay
+            else:
+                host.wake_time = now
+            if cfg.total_budget >= 0 and host.total_expenditure > cfg.total_budget:
+                host.retired = True
+
+            res.fetch_log.append(
+                {
+                    "round": round_no,
+                    "now_ms": now,
+                    "class_key": ck,
+                    "url": uri.url,
+                    "canon_url": uri.canon_url,
+                    "ordinal": uri.ordinal,
+                    "directive": uri.directive,
+                    "precedence": uri.precedence,
+                    "fetch_status": status,
+                    "disposition": disposition,
+                    "cost": uri.cost,
+                    "politeness_delay_ms": delay,
+                    "hops_path": uri.hops_path,
+                    "via": uri.via,
+                }
+            )
+
+        # --- candidate pipeline (batch across all ready hosts)
+        all_candidates.sort(key=lambda c: (c[0], c[1], c[2]))
+        batch_seen: set[str] = set()
+        for parent_ordinal, link_seq, canon, raw, child_hops, via in all_candidates:
+            if canon in batch_seen:
+                res.dup_dropped += 1
+                continue
+            batch_seen.add(canon)
+            if canon in res.url_seen:
+                res.dup_dropped += 1
+                continue
+            res.url_seen.add(canon)
+            ck = class_key_py(canon)
+            th = trans_hops_py(child_hops)
+            directive = MEDIUM if 0 < th <= cfg.preference_embed_hops else NORMAL
+            max_ordinal += 1
+            pu = PendingUri(
+                url=raw, canon_url=canon, class_key=ck, directive=directive,
+                precedence=1, ordinal=max_ordinal, cost=1,
+                hops_path=child_hops, via=via,
+            )
+            queues.setdefault(ck, []).append(pu)
+            hosts.setdefault(ck, HostState(wake_time=0))
+
+    return res

@@ -1,0 +1,155 @@
+"""The crawl driver loop: rounds over SnapStore-committed state.
+
+Checkpoint/resume protocol (analog of BdbFrontier.doCheckpoint /
+setRecoveryCheckpoint, heritrix3/engine/.../frontier/BdbFrontier.java:225-330):
+each round writes frontier + host_state (full) and url_seen + fetch_log
++ lineage + metrics (delta) to the store, then commits the manifest
+with {round, now_ms, max_ordinal}. Because every round is a pure
+function of committed state, killing the process anywhere and rerunning
+``crawl()`` resumes from the last committed round and produces a
+bit-identical final state (tests/test_resume.py).
+
+Reading state back from parquet each round also truncates the logical
+plan — the iterative loop never builds an unbounded lineage chain.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from heritrix_spark.constants import PolitenessConfig
+from heritrix_spark.plans.round import run_round, schedule_seeds
+from heritrix_spark.store.snapstore import SnapStore
+
+
+@dataclass
+class CrawlResult:
+    rounds: int
+    store: SnapStore
+
+    def fetch_log(self) -> DataFrame:
+        return self.store.read("fetch_log")
+
+    def url_seen(self) -> DataFrame:
+        return self.store.read("url_seen")
+
+    def frontier(self) -> DataFrame:
+        return self.store.read("frontier")
+
+    def metrics(self) -> DataFrame:
+        return self.store.read("metrics")
+
+
+def seed_scope_prefixes_spark(seeds: DataFrame) -> list[str]:
+    """Seed SURT prefixes (spec step 4's scope law), computed via the
+    same Python twin the oracle uses — seeds are a tiny list."""
+    from heritrix_spark.oracle.simulator import seed_scope_prefixes
+
+    return seed_scope_prefixes([r["url"] for r in seeds.select("url").collect()])
+
+
+def crawl(
+    spark: SparkSession,
+    store_root: str,
+    docs: DataFrame,
+    seeds: DataFrame,
+    robots: DataFrame,
+    cfg: PolitenessConfig = PolitenessConfig(),
+    max_rounds: int = 10_000,
+    stop_after_round: int | None = None,
+) -> CrawlResult:
+    """Run (or resume) a crawl to completion. ``stop_after_round`` kills
+    the loop early — used by the resume tests."""
+    store = SnapStore(store_root, spark)
+    prefixes = seed_scope_prefixes_spark(seeds)
+
+    manifest = store.manifest()
+    if manifest is None:
+        frontier, url_seen, host_state, max_ordinal = schedule_seeds(spark, seeds, cfg)
+        store.write_full(frontier, "frontier", 0)
+        store.write_full(host_state, "host_state", 0)
+        store.write_delta(url_seen, "url_seen", 0)
+        store.write_delta(
+            frontier.select(
+                F.lit(0).alias("round"),
+                F.lit("F+").alias("tag"),
+                "canon_url",
+                "class_key",
+                F.spark_partition_id().alias("partition_id"),
+            ),
+            "lineage",
+            0,
+        )
+        store.write_delta(
+            spark.createDataFrame(
+                [
+                    {
+                        "round": 0,
+                        "now_ms": 0,
+                        "emitted": 0,
+                        "succeeded": 0,
+                        "failed": 0,
+                        "disregarded": 0,
+                        "retried": 0,
+                        "novel_scheduled": max_ordinal,
+                        "max_ordinal": max_ordinal,
+                    }
+                ]
+            ),
+            "metrics",
+            0,
+        )
+        empty_log = spark.createDataFrame(
+            [],
+            schema="round int, now_ms long, class_key string, url string, "
+            "canon_url string, ordinal long, directive int, precedence int, "
+            "fetch_status int, disposition string, cost int, "
+            "politeness_delay_ms long, hops_path string, via string",
+        )
+        store.write_delta(empty_log, "fetch_log", 0)
+        store.commit_round(0, {"now_ms": 0, "max_ordinal": max_ordinal})
+        manifest = store.manifest()
+
+    round_no = manifest["round"]
+    now_ms = manifest["meta"]["now_ms"]
+    max_ordinal = manifest["meta"]["max_ordinal"]
+
+    while round_no < max_rounds:
+        if stop_after_round is not None and round_no >= stop_after_round:
+            break
+        round_no += 1
+        frontier = store.read("frontier")
+        host_state = store.read("host_state")
+        url_seen = store.read("url_seen")
+        result = run_round(
+            spark,
+            round_no,
+            now_ms,
+            max_ordinal,
+            frontier,
+            host_state,
+            url_seen,
+            docs,
+            robots,
+            prefixes,
+            cfg,
+        )
+        if result.done:
+            round_no -= 1
+            break
+        store.write_full(result.frontier, "frontier", round_no)
+        store.write_full(result.host_state, "host_state", round_no)
+        store.write_delta(result.url_seen_delta, "url_seen", round_no)
+        store.write_delta(result.fetch_log, "fetch_log", round_no)
+        store.write_delta(result.lineage, "lineage", round_no)
+        store.write_delta(
+            spark.createDataFrame([result.metrics]), "metrics", round_no
+        )
+        now_ms, max_ordinal = result.now_ms, result.max_ordinal
+        store.commit_round(round_no, {"now_ms": now_ms, "max_ordinal": max_ordinal})
+        spark.catalog.clearCache()  # state is re-read from parquet next round
+
+    return CrawlResult(rounds=round_no, store=store)

@@ -1,0 +1,411 @@
+"""One frontier round as a pure DataFrame program.
+
+Implements the normative round spec of ``oracle/simulator.py`` (which
+restates SURVEY.md §3's schedule/next/finished lifecycle as discrete
+rounds) with Spark-first physical choices:
+
+- head-of-queue pick = ``row_number() over (partition by class_key
+  order by directive, precedence, ordinal)`` — the
+  BdbMultipleWorkQueues insert-key law (:425-441) as a window, shuffled
+  once on class_key;
+- robots + host_state are broadcast-joined dimensions (hosts ≪ frontier);
+- the docs "fetch" is an equi-join on canon_url = doc_id;
+- candidate scope / directive / cost / precedence are column
+  expressions (operators/scope.py, operators/prepare.py);
+- seen-set dedup = batch-duplicate collapse + LEFT ANTI JOIN
+  (operators/seen.py), both shuffled on canon_url;
+- ordinal assignment = deterministic distributed row-number
+  (operators/prepare.py assign_ordinals) under the ordinal law.
+
+Scale notes: every shuffle is keyed on class_key (bounded by host
+count) or canon_url (uniform by construction); the only driver-side
+values are the round clock, max ordinal, and metric counts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from heritrix_spark.constants import (
+    NORMAL,
+    S_ROBOTS_PRECLUDED,
+    PolitenessConfig,
+)
+from heritrix_spark.functions.canonicalize import canonicalize_col
+from heritrix_spark.functions.surt import class_key_col
+from heritrix_spark.operators.budget import disposition_col, expenditure_col
+from heritrix_spark.operators.extract import extract_outlinks
+from heritrix_spark.operators.politeness import (
+    join_robots,
+    politeness_delay_col,
+)
+from heritrix_spark.operators.prepare import (
+    assign_ordinals,
+    cost_uri_precedence_col,
+    scheduling_directive_col,
+    unit_cost_col,
+)
+from heritrix_spark.operators.scope import default_scope
+from heritrix_spark.operators.seen import (
+    collapse_batch_duplicates,
+    dedup_candidates,
+    shard_col,
+)
+
+FRONTIER_COLUMNS = [
+    "url",
+    "canon_url",
+    "class_key",
+    "directive",
+    "precedence",
+    "ordinal",
+    "cost",
+    "hops_path",
+    "via",
+    "attempts",
+]
+
+HOST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("class_key", T.StringType()),
+        T.StructField("wake_time", T.LongType()),
+        T.StructField("total_expenditure", T.LongType()),
+        T.StructField("retired", T.BooleanType()),
+    ]
+)
+
+
+@dataclass
+class RoundResult:
+    done: bool
+    now_ms: int = 0
+    max_ordinal: int = 0
+    frontier: DataFrame | None = None
+    host_state: DataFrame | None = None
+    url_seen_delta: DataFrame | None = None
+    fetch_log: DataFrame | None = None
+    lineage: DataFrame | None = None
+    metrics: dict | None = None
+
+
+def schedule_seeds(
+    spark: SparkSession,
+    seeds: DataFrame,
+    cfg: PolitenessConfig = PolitenessConfig(),
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Seed ingestion (spec step 0) → (frontier, url_seen, host_state, max_ordinal)."""
+    prepared = seeds.select(
+        F.col("url"),
+        F.col("seq").cast("long").alias("seq"),
+        canonicalize_col("url").alias("canon_url"),
+    ).withColumn("class_key", class_key_col("canon_url"))
+    unique = collapse_batch_duplicates(prepared, key="canon_url", order_cols=("seq",))
+    numbered, n = assign_ordinals(unique, ["seq"], base=0)
+    frontier = numbered.select(
+        "url",
+        "canon_url",
+        "class_key",
+        F.lit(NORMAL).cast("int").alias("directive"),
+        F.lit(1).cast("int").alias("precedence"),
+        F.col("ordinal"),
+        F.lit(1).cast("int").alias("cost"),
+        F.lit("").alias("hops_path"),
+        F.lit(None).cast("string").alias("via"),
+        F.lit(0).cast("int").alias("attempts"),
+    )
+    url_seen = frontier.select(
+        "canon_url", shard_col("canon_url", cfg.n_seen_shards).alias("shard")
+    )
+    host_state = frontier.select("class_key").distinct().select(
+        "class_key",
+        F.lit(0).cast("long").alias("wake_time"),
+        F.lit(0).cast("long").alias("total_expenditure"),
+        F.lit(False).alias("retired"),
+    )
+    return frontier, url_seen, host_state, n
+
+
+def run_round(
+    spark: SparkSession,
+    round_no: int,
+    now_prev: int,
+    max_ordinal: int,
+    frontier: DataFrame,
+    host_state: DataFrame,
+    url_seen: DataFrame,
+    docs: DataFrame,
+    robots: DataFrame,
+    seed_surt_prefixes: list[str],
+    cfg: PolitenessConfig = PolitenessConfig(),
+) -> RoundResult:
+    # ---- clock + ready-host selection (spec step 1)
+    nonempty_hosts = frontier.select("class_key").distinct()
+    eligible = nonempty_hosts.join(
+        host_state.filter(~F.col("retired")), on="class_key", how="inner"
+    )
+    row = eligible.agg(F.min("wake_time").alias("w"), F.count("*").alias("n")).first()
+    if row["n"] == 0:
+        return RoundResult(done=True, now_ms=now_prev, max_ordinal=max_ordinal)
+    now = max(now_prev, int(row["w"]))
+
+    head_w = Window.partitionBy("class_key").orderBy(
+        "directive", "precedence", "ordinal"
+    )
+    heads = (
+        frontier.withColumn("__rank", F.row_number().over(head_w))
+        .filter(F.col("__rank") == 1)
+        .drop("__rank")
+    )
+    ready_hosts = eligible.filter(F.col("wake_time") <= F.lit(now)).select("class_key")
+    emitted = heads.join(F.broadcast(ready_hosts), on="class_key", how="inner")
+
+    # ---- fetch (spec step 2): robots gate + docs join
+    emitted = join_robots(emitted, robots)  # adds robots_allowed, crawl_delay
+    docs_sel = docs.select(F.col("doc_id"), F.col("spans"))
+    fetched = emitted.join(
+        docs_sel, on=emitted["canon_url"] == docs_sel["doc_id"], how="left"
+    ).drop("doc_id")
+    total_text = F.aggregate(
+        F.col("spans"),
+        F.lit(0),
+        lambda acc, s: acc + F.length(F.coalesce(s["text"], F.lit(""))),
+    )
+    duration_found = F.lit(10) + F.pmod(
+        total_text + F.lit(7) * F.size("spans"), F.lit(491)
+    )
+    fetched = (
+        fetched.withColumn(
+            "fetch_status",
+            F.when(~F.col("robots_allowed"), F.lit(S_ROBOTS_PRECLUDED))
+            .when(F.col("spans").isNotNull(), F.lit(200))
+            .otherwise(F.lit(404)),
+        )
+        .withColumn(
+            "fetch_duration_ms",
+            F.when(~F.col("robots_allowed"), F.lit(0))
+            .when(F.col("spans").isNotNull(), duration_found)
+            .otherwise(F.lit(25))
+            .cast("long"),
+        )
+        .withColumn(
+            "disposition", disposition_col(F.col("fetch_status"), F.col("attempts"), cfg)
+        )
+    )
+    fetched = fetched.persist()
+
+    # ---- extraction (spec step 3) + candidates (spec step 4)
+    links = extract_outlinks(
+        fetched, max_outlinks=cfg.max_outlinks, url_col="canon_url"
+    )
+    from heritrix_spark.functions.hops import extend_hops_path_col
+
+    cands = links.select(
+        F.col("target").alias("url"),
+        F.col("parent_ordinal"),
+        F.col("link_seq"),
+        F.col("via"),
+        extend_hops_path_col(F.col("via_hops_path"), F.col("hop_char")).alias(
+            "hops_path"
+        ),
+    )
+    cands = cands.filter(
+        default_scope(F.col("url"), F.col("hops_path"), seed_surt_prefixes, cfg)
+    )
+    cands = (
+        cands.withColumn("canon_url", canonicalize_col("url"))
+        .withColumn("class_key", class_key_col("canon_url"))
+        .withColumn(
+            "directive",
+            scheduling_directive_col(
+                F.col("hops_path"), F.lit(NORMAL).cast("int"), cfg
+            ).cast("int"),
+        )
+        .withColumn("cost", unit_cost_col().cast("int"))
+        .withColumn("precedence", cost_uri_precedence_col(F.col("cost")).cast("int"))
+    )
+
+    # ---- dedup + ordinals (spec step 5)
+    unique = collapse_batch_duplicates(
+        cands, key="canon_url", order_cols=("parent_ordinal", "link_seq")
+    )
+    novel = dedup_candidates(unique, url_seen)
+    novel, n_novel = assign_ordinals(
+        novel, ["parent_ordinal", "link_seq", "canon_url"], base=max_ordinal
+    )
+    novel = novel.persist()
+    new_max_ordinal = max_ordinal + n_novel
+
+    novel_frontier = novel.select(
+        "url",
+        "canon_url",
+        "class_key",
+        "directive",
+        "precedence",
+        "ordinal",
+        "cost",
+        "hops_path",
+        F.col("via"),
+        F.lit(0).cast("int").alias("attempts"),
+    )
+
+    # ---- frontier update: drop emitted, re-enqueue retries, add novel
+    emitted_ordinals = fetched.select("ordinal")
+    remaining = frontier.join(emitted_ordinals, on="ordinal", how="left_anti")
+    retries = (
+        fetched.filter(F.col("disposition") == "retry")
+        .withColumn("attempts", F.col("attempts") + 1)
+        .select(*FRONTIER_COLUMNS)
+    )
+    frontier_next = (
+        remaining.select(*FRONTIER_COLUMNS)
+        .unionByName(retries)
+        .unionByName(novel_frontier)
+    )
+
+    # ---- host/budget update (spec step 6)
+    host_updates = fetched.select(
+        "class_key",
+        expenditure_col(F.col("disposition"), F.col("cost"), cfg).alias("expend"),
+        F.when(
+            F.col("disposition").isin("success", "failure"),
+            F.lit(now)
+            + politeness_delay_col(F.col("fetch_duration_ms"), F.col("crawl_delay"), cfg),
+        )
+        .otherwise(F.lit(now))
+        .cast("long")
+        .alias("new_wake"),
+        F.when(
+            F.col("disposition").isin("success", "failure"),
+            politeness_delay_col(F.col("fetch_duration_ms"), F.col("crawl_delay"), cfg),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("politeness_delay_ms"),
+    )
+    updated = (
+        host_state.join(
+            host_updates.select("class_key", "expend", "new_wake"),
+            on="class_key",
+            how="left",
+        )
+        .select(
+            "class_key",
+            F.coalesce(F.col("new_wake"), F.col("wake_time")).alias("wake_time"),
+            (F.col("total_expenditure") + F.coalesce(F.col("expend"), F.lit(0))).alias(
+                "total_expenditure"
+            ),
+            F.col("retired"),
+        )
+        .withColumn(
+            "retired",
+            F.col("retired")
+            | (
+                F.lit(cfg.total_budget >= 0)
+                & (F.col("total_expenditure") > F.lit(cfg.total_budget))
+            ),
+        )
+    )
+    new_hosts = (
+        novel_frontier.select("class_key")
+        .distinct()
+        .join(host_state.select("class_key"), on="class_key", how="left_anti")
+        .select(
+            "class_key",
+            F.lit(0).cast("long").alias("wake_time"),
+            F.lit(0).cast("long").alias("total_expenditure"),
+            F.lit(False).alias("retired"),
+        )
+    )
+    host_state_next = updated.unionByName(new_hosts)
+
+    # ---- outputs: seen delta, fetch log, lineage, metrics
+    url_seen_delta = novel.select(
+        "canon_url", shard_col("canon_url", cfg.n_seen_shards).alias("shard")
+    )
+    fetch_log = (
+        fetched.join(
+            host_updates.select("class_key", "politeness_delay_ms"),
+            on="class_key",
+            how="left",
+        )
+        .select(
+            F.lit(round_no).alias("round"),
+            F.lit(now).cast("long").alias("now_ms"),
+            "class_key",
+            "url",
+            "canon_url",
+            "ordinal",
+            "directive",
+            "precedence",
+            "fetch_status",
+            "disposition",
+            "cost",
+            F.coalesce(F.col("politeness_delay_ms"), F.lit(0)).alias(
+                "politeness_delay_ms"
+            ),
+            "hops_path",
+            "via",
+        )
+    )
+    lineage = (
+        fetched.select(
+            F.lit(round_no).alias("round"),
+            F.lit("Fe").alias("tag"),
+            "canon_url",
+            "class_key",
+            F.spark_partition_id().alias("partition_id"),
+        )
+        .unionByName(
+            fetched.select(
+                F.lit(round_no).alias("round"),
+                F.when(F.col("disposition") == "success", F.lit("Fs"))
+                .when(F.col("disposition") == "disregard", F.lit("Fd"))
+                .when(F.col("disposition") == "retry", F.lit("Fr"))
+                .otherwise(F.lit("Ff"))
+                .alias("tag"),
+                "canon_url",
+                "class_key",
+                F.spark_partition_id().alias("partition_id"),
+            )
+        )
+        .unionByName(
+            novel.select(
+                F.lit(round_no).alias("round"),
+                F.lit("F+").alias("tag"),
+                "canon_url",
+                "class_key",
+                F.spark_partition_id().alias("partition_id"),
+            )
+        )
+    )
+
+    counts = (
+        fetched.groupBy("disposition").count().collect()
+    )
+    by_dispo = {r["disposition"]: r["count"] for r in counts}
+    metrics = {
+        "round": round_no,
+        "now_ms": now,
+        "emitted": int(sum(by_dispo.values())),
+        "succeeded": int(by_dispo.get("success", 0)),
+        "failed": int(by_dispo.get("failure", 0)),
+        "disregarded": int(by_dispo.get("disregard", 0)),
+        "retried": int(by_dispo.get("retry", 0)),
+        "novel_scheduled": int(n_novel),
+        "max_ordinal": int(new_max_ordinal),
+    }
+    return RoundResult(
+        done=False,
+        now_ms=now,
+        max_ordinal=new_max_ordinal,
+        frontier=frontier_next,
+        host_state=host_state_next,
+        url_seen_delta=url_seen_delta,
+        fetch_log=fetch_log,
+        lineage=lineage,
+        metrics=metrics,
+    )

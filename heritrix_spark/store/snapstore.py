@@ -1,0 +1,109 @@
+"""SnapStore — snapshot-committed parquet tables with an atomic round
+manifest (the sandbox stand-in for Iceberg).
+
+The production design targets Iceberg (atomic multi-table round commit =
+one snapshot per table + a round manifest committed last, readers key
+off the manifest — SURVEY.md §4 "quiescing RW-locks" row; analog of
+BdbFrontier.doCheckpoint, heritrix3/engine/.../frontier/BdbFrontier.java:225-273
+which syncs the deferred-write BDB then writes a JSON stamp). No Iceberg
+runtime jar ships in this sandbox, so SnapStore reproduces the same
+commit protocol over plain parquet directories:
+
+- every table version is written to ``<root>/<table>/r<round>/`` first,
+- ``MANIFEST.json`` is replaced last via atomic ``os.replace``,
+- a reader only ever follows the manifest, so a kill at any point
+  leaves the last committed round intact (orphan dirs from a partial
+  round are simply overwritten on re-run — writes are idempotent per
+  round).
+
+Two table modes:
+- ``full``  — the round's directory holds the complete table (frontier,
+  host_state: tables that shrink/grow in place),
+- ``delta`` — the table is the union of all committed rounds'
+  directories (url_seen, fetch_log, lineage, metrics: append-only —
+  at 10^10 scale the seen set is never rewritten, only appended,
+  mirroring the reference's insert-only BdbUriUniqFilter B-tree).
+
+Resume = read MANIFEST.json and continue from ``round + 1``
+(bit-identical: all round inputs are functions of committed state).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "MANIFEST.json"
+
+FULL_TABLES = ("frontier", "host_state")
+DELTA_TABLES = ("url_seen", "fetch_log", "lineage", "metrics")
+
+
+class SnapStore:
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = root
+        self.spark = spark
+        self._staged: dict[str, str] = {}
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ manifest
+
+    def manifest(self) -> dict[str, Any] | None:
+        path = os.path.join(self.root, MANIFEST)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def commit_round(self, round_no: int, meta: dict[str, Any]) -> None:
+        """Atomically publish round ``round_no``. Must be called after all
+        table writes for the round have finished."""
+        prev = self.manifest() or {"tables": {}}
+        tables = dict(prev.get("tables", {}))
+        for t, mode in list(self._staged.items()):
+            if mode == "full":
+                tables[t] = {"mode": "full", "round": round_no}
+            else:
+                entry = tables.get(t, {"mode": "delta", "rounds": []})
+                rounds = [r for r in entry.get("rounds", []) if r < round_no]
+                rounds.append(round_no)
+                tables[t] = {"mode": "delta", "rounds": rounds}
+        manifest = {"round": round_no, "meta": meta, "tables": tables}
+        tmp = os.path.join(self.root, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(self.root, MANIFEST))
+        self._staged = {}
+
+    # -------------------------------------------------------------- tables
+
+    def _dir(self, table: str, round_no: int) -> str:
+        return os.path.join(self.root, table, f"r{round_no:06d}")
+
+    def write_full(self, df: DataFrame, table: str, round_no: int) -> None:
+        path = self._dir(table, round_no)
+        df.write.mode("overwrite").parquet(path)
+        self._staged = {**self._staged, table: "full"}
+
+    def write_delta(self, df: DataFrame, table: str, round_no: int) -> None:
+        path = self._dir(table, round_no)
+        df.write.mode("overwrite").parquet(path)
+        self._staged = {**self._staged, table: "delta"}
+
+    def read(self, table: str) -> DataFrame | None:
+        """Read the committed state of a table (manifest-driven)."""
+        m = self.manifest()
+        if not m or table not in m["tables"]:
+            return None
+        entry = m["tables"][table]
+        if entry["mode"] == "full":
+            return self.spark.read.parquet(self._dir(table, entry["round"]))
+        paths = [self._dir(table, r) for r in entry["rounds"]]
+        return self.spark.read.parquet(*paths)
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

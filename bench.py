@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline frontier
+schedule+dedup round plus every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], and prints
+ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "urls_scheduled_deduped_per_sec": ..., ...}
+
+Knobs:
+  SPARK_GRAFT_SF_DIR   parquet table dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  BENCH_FRONTIER_N     synthetic frontier candidate count (default 2_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n = int(os.environ.get("BENCH_FRONTIER_N", "2000000"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from heritrix_spark.benchlib import run_schedule_dedup_bench
+    from heritrix_spark.driverq import QUERIES
+    from heritrix_spark.session import build_session
+
+    spark = build_session(
+        app_name=f"heritrix-bench-{cpus}", cores=cpus, shuffle_partitions=max(cpus * 2, 16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = None
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        pass
+
+    queries: dict[str, float] = {}
+    total = 0.0
+
+    # headline: frontier schedule+dedup round on a synthetic candidate stream
+    with tempfile.TemporaryDirectory(prefix="hxbench_") as tmp:
+        head = run_schedule_dedup_bench(spark, n, tmp)
+    queries["frontier_schedule_dedup"] = round(head["elapsed_sec"], 3)
+    total += head["elapsed_sec"]
+
+    # registry queries at the given sf
+    for name in sorted(QUERIES):
+        t0 = time.monotonic()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        queries[name] = round(dt, 3)
+        total += dt
+
+    out = {
+        "metric": "frontier-round throughput (URLs scheduled+deduped/sec) "
+        "+ operator suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "frontier_candidates": n,
+        "urls_scheduled_deduped_per_sec": round(head["urls_per_sec"], 1),
+        "cores": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

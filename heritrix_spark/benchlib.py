@@ -1,0 +1,149 @@
+"""Benchmark building blocks: synthetic frontier generation + the
+measured schedule/dedup pipeline (the BASELINE.json headline metric:
+URLs scheduled+deduped per second through one frontier scheduling round).
+
+The synthetic candidate stream is generated entirely with Spark range +
+column expressions (codegen, no Python, no driver data) so generation
+never bottlenecks measurement; it is materialized to parquet first so
+the measured job reads columnar input like production.
+
+Shape knobs mirror the 10^10 design concerns:
+- ``n_hosts`` controls queue-key cardinality,
+- a deliberately hot host receives ~20% of all candidates (skew —
+  handled by hashing the seen-set on canon_url, not class_key, plus AQE
+  skew-join),
+- ~25% in-batch duplicate rate and a pre-populated seen set exercise
+  both dedup layers.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from heritrix_spark.constants import NORMAL
+from heritrix_spark.functions.canonicalize import canonicalize_col
+from heritrix_spark.functions.surt import class_key_col
+from heritrix_spark.operators.prepare import (
+    assign_ordinals,
+    cost_uri_precedence_col,
+    scheduling_directive_col,
+    unit_cost_col,
+)
+from heritrix_spark.operators.seen import (
+    collapse_batch_duplicates,
+    dedup_candidates,
+    shard_col,
+)
+
+
+def synth_candidates(spark: SparkSession, n: int, n_hosts: int = 10_000) -> DataFrame:
+    """n candidate URLs: hot-host skew, www/query mess, ~25% duplicates."""
+    base = spark.range(n)
+    host_id = (
+        F.when(F.pmod(F.col("id"), 5) == 0, F.lit(0))  # hot host: 20% of rows
+        .otherwise(F.pmod(F.xxhash64(F.col("id")), F.lit(n_hosts)))
+        .cast("long")
+    )
+    page_id = F.pmod(F.col("id"), F.lit(max(1, (n * 3) // 4)))  # ~25% dups
+    www = F.when(F.pmod(F.col("id"), 13) == 0, F.lit("www.")).otherwise(F.lit(""))
+    query = (
+        F.when(F.pmod(F.col("id"), 7) == 0, F.lit("?"))
+        .when(
+            F.pmod(F.col("id"), 7) == 1,
+            F.concat(F.lit("?x="), page_id.cast("string"), F.lit("&")),
+        )
+        .otherwise(F.lit(""))
+    )
+    return base.select(
+        F.col("id").alias("parent_ordinal"),
+        F.pmod(F.col("id"), 64).cast("long").alias("link_seq"),
+        F.concat(
+            F.lit("http://"),
+            www,
+            F.lit("host"),
+            host_id.cast("string"),
+            F.lit(".example/s"),
+            F.pmod(page_id, 97).cast("string"),
+            F.lit("/page"),
+            page_id.cast("string"),
+            F.lit(".html"),
+            query,
+        ).alias("url"),
+        F.lit("LL").alias("hops_path"),
+    )
+
+
+def schedule_dedup_pipeline(
+    candidates: DataFrame,
+    url_seen: DataFrame,
+    max_ordinal: int = 0,
+    lead_bound: int | None = None,
+) -> DataFrame:
+    """The measured job: prepare → collapse dups → anti-join seen →
+    deterministic ordinals. Identical operator chain to plans/round.py
+    steps 4-5 (scope omitted: the synthetic stream is all in scope)."""
+    cands = (
+        candidates.withColumn("canon_url", canonicalize_col("url"))
+        .withColumn("class_key", class_key_col("canon_url"))
+        .withColumn(
+            "directive",
+            scheduling_directive_col(F.col("hops_path"), F.lit(NORMAL).cast("int"))
+            .cast("int"),
+        )
+        .withColumn("cost", unit_cost_col().cast("int"))
+        .withColumn("precedence", cost_uri_precedence_col(F.col("cost")).cast("int"))
+    )
+    uniq = collapse_batch_duplicates(
+        cands, key="canon_url", order_cols=("parent_ordinal", "link_seq")
+    )
+    novel = dedup_candidates(uniq, url_seen)
+    numbered, _ = assign_ordinals(
+        novel,
+        ["parent_ordinal", "link_seq", "canon_url"],
+        base=max_ordinal,
+        lead_bound=lead_bound,
+    )
+    return numbered
+
+
+def run_schedule_dedup_bench(
+    spark: SparkSession, n: int, workdir: str, n_hosts: int = 10_000
+) -> dict:
+    """Materialize inputs, run + time the pipeline, return metrics."""
+    cand_path = f"{workdir}/candidates"
+    seen_path = f"{workdir}/url_seen"
+    cands = synth_candidates(spark, n, n_hosts)
+    cands.write.mode("overwrite").parquet(cand_path)
+    # seen set: canon of every 4th candidate → ~25% pre-seen hit rate
+    seen = (
+        cands.filter(F.pmod(F.col("parent_ordinal"), 4) == 0)
+        .select(canonicalize_col("url").alias("canon_url"))
+        .distinct()
+        .select("canon_url", shard_col("canon_url", 64).alias("shard"))
+    )
+    seen.write.mode("overwrite").parquet(seen_path)
+
+    candidates = spark.read.parquet(cand_path)
+    url_seen = spark.read.parquet(seen_path)
+
+    # JIT/codegen warmup on a small slice — steady-state throughput is the
+    # metric (a production frontier loop runs hundreds of warm rounds).
+    warm = schedule_dedup_pipeline(
+        candidates.limit(20_000), url_seen.limit(20_000), lead_bound=n
+    )
+    warm.write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+
+    t0 = time.monotonic()
+    result = schedule_dedup_pipeline(candidates, url_seen, lead_bound=n)
+    result.write.format("noop").mode("overwrite").save()
+    elapsed = time.monotonic() - t0
+    spark.catalog.clearCache()
+    return {
+        "n_candidates": n,
+        "elapsed_sec": elapsed,
+        "urls_per_sec": n / elapsed,
+    }

@@ -47,16 +47,27 @@ _SURT_RE = re.compile(SURT_SPLITTER)
 
 # ---------------------------------------------------------------- Spark
 
-
-def _x(col: Column, group: int) -> Column:
-    return F.regexp_extract(col, SURT_SPLITTER, group)
+# Separator for the single-execution group-pack trick (never occurs in
+# URL data). Running the splitter once via regexp_replace("$1␁$2␁…")
+# and splitting is ~8× cheaper than 7×regexp_extract + rlike.
+_SEP = "\x01"
 
 
 def surt_col(url: Column | str) -> Column:
-    """SURT form as a native Catalyst expression (no Python)."""
+    """SURT form as a native Catalyst expression (no Python).
+
+    The splitter regex executes exactly once per row: all 7 groups are
+    packed into one delimited string (non-participating groups render
+    empty, same as regexp_extract), then unpacked with a literal split.
+    A non-matching URI yields a pack without separators (size 1) and
+    passes through unchanged, exactly like the reference's non-authority
+    fallback (SURT.fromURI, SURT.java:124-127).
+    """
     col = F.col(url) if isinstance(url, str) else url
-    scheme, userinfo, at = _x(col, 1), _x(col, 2), _x(col, 3)
-    ip, host, port, path = _x(col, 4), _x(col, 5), _x(col, 6), _x(col, 7)
+    repl = _SEP.join(f"${i}" for i in range(1, 8))
+    parts = F.split(F.regexp_replace(col, SURT_SPLITTER, repl), _SEP, -1)
+    scheme, userinfo, at = parts[0], parts[1], parts[2]
+    ip, host, port, path = parts[3], parts[4], parts[5], parts[6]
     revhost = F.when(
         ip != F.lit(""),
         ip,
@@ -64,7 +75,7 @@ def surt_col(url: Column | str) -> Column:
     surt = F.lower(
         F.concat(scheme, F.lit("("), revhost, port, at, userinfo, F.lit(")"), path)
     )
-    return F.when(col.rlike(SURT_SPLITTER), surt).otherwise(col)
+    return F.when(F.size(parts) == 7, surt).otherwise(col)
 
 
 def class_key_col(url: Column | str) -> Column:

@@ -27,7 +27,7 @@ so it scales to 10^10 rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from heritrix_spark.constants import HIGH, MEDIUM, PolitenessConfig
@@ -131,26 +131,73 @@ def assign_ordinals(
     base: int = 0,
     out_col: str = "ordinal",
     num_buckets: int | None = None,
+    lead_bound: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Number rows ``base + 1 .. base + n`` along the total order of
-    ``order_cols``, without a global single-partition window.
+    ``order_cols``, without a global single-partition window. Returns
+    ``(numbered_df, n)``.
 
-    Mechanism: range-repartition on the order key (bucket i's keys all
-    precede bucket i+1's), sort within partitions, take the
-    within-partition position from ``monotonically_increasing_id`` (which
-    is ``pid << 33 | row_pos`` in plan order), then add per-partition
-    offsets computed from a tiny count-per-partition aggregate. The only
-    driver-side data is one long per partition.
+    Fast path (``lead_bound`` given — the non-negative upper bound of
+    ``order_cols[0]``, e.g. the current max ordinal for parent_ordinal):
+    rows are bucketed by the *computed* monotone bucket
+    ``floor(lead * B / (bound+1))`` — one hash shuffle, no range-sampling
+    pass — then ranked per bucket with a window and offset by tiny
+    per-bucket counts (the only driver-side data: one long per bucket).
+    Monotone bucketing preserves the total order across buckets because
+    equal leads share a bucket and larger leads never map to a smaller
+    bucket.
 
-    The result is independent of ``num_buckets`` and of input
-    partitioning because the order is total (callers must include a
-    unique final tiebreak column, e.g. canon_url).
+    Generic path (no bound): range-repartition + sort-within-partitions,
+    within-partition position from ``monotonically_increasing_id``
+    (``pid << 33 | row_pos`` in plan order), plus per-partition offsets.
+    The input is persisted so the range partitioner's sampling job does
+    not recompute the upstream chain.
+
+    Either way the result is independent of ``num_buckets`` and input
+    partitioning because the order is total (callers include a unique
+    final tiebreak column, e.g. canon_url).
     """
     spark = df.sparkSession
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    if lead_bound is not None:
+        lead = F.col(order_cols[0]).cast("long")
+        bucket = F.floor(
+            lead * F.lit(num_buckets) / F.lit(int(lead_bound) + 1)
+        ).cast("int")
+        work = df.withColumn("__bucket", bucket).repartition(
+            num_buckets, F.col("__bucket")
+        )
+        w = Window.partitionBy("__bucket").orderBy(
+            *[F.col(c).asc() for c in order_cols]
+        )
+        work = work.withColumn("__lrank", F.row_number().over(w)).persist()
+        counts = {
+            r["__bucket"]: r["cnt"]
+            for r in work.groupBy("__bucket").agg(F.count("*").alias("cnt")).collect()
+        }
+        if not counts:
+            return (
+                work.drop("__bucket", "__lrank").withColumn(
+                    out_col, F.lit(0).cast("long")
+                ),
+                0,
+            )
+        offsets, acc = {}, base
+        for b in sorted(counts):
+            offsets[b] = acc
+            acc += counts[b]
+        offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        result = work.withColumn(
+            out_col,
+            (offset_map[F.col("__bucket")] + F.col("__lrank")).cast("long"),
+        ).drop("__bucket", "__lrank")
+        return result, int(sum(counts.values()))
+
+    inp = df.persist()
     ordered = (
-        df.repartitionByRange(num_buckets, *[F.col(c) for c in order_cols])
+        inp.repartitionByRange(num_buckets, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*[F.col(c) for c in order_cols])
         .withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__pid", F.spark_partition_id())

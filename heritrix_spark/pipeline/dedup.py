@@ -1,0 +1,197 @@
+"""Large-scale training-data deduplication over the ``documents`` table.
+
+Four families, all shuffle-conscious:
+
+- :func:`exact_dedup` — hash-groupBy on a content digest (the crawl
+  engine's content-digest dedup analog: CrawlURI.contentDigest,
+  heritrix3/modules/.../CrawlURI.java:983-1014). One shuffle on the
+  digest; at 100 TB the digest is 16 bytes/row, so the shuffle is tiny
+  relative to content.
+- :func:`minhash_lsh_dedup` — shingle → minhash → band-bucket join.
+  Candidate pairs only ever meet inside an LSH bucket (no O(n²) cross
+  join); bucket sizes are bounded by construction at web scale because
+  band signatures spread uniformly.
+- :func:`simhash_dedup` — 64-bit simhash from token hashes; near-dup =
+  same simhash after masking k noise bits (bit-sampling LSH variant).
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard for candidate
+  pairs produced by a cheaper blocking stage (here: shared min-hash
+  bucket), expressed with array intersection, no UDF.
+
+Hashing is the dialect-portable 60-bit md5 prefix
+(``conv(substr(md5(x),1,15),16,10)``) so every operator has an exact
+DuckDB oracle twin (driverq registry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash, identical in Spark and DuckDB:
+    first 15 hex chars of md5 → bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def content_digest_col(text: Column) -> Column:
+    """SHA1 content digest (CrawlURI digest analog)."""
+    return F.sha1(text)
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content digest: one representative (min id) per
+    digest plus the duplicate count. Single shuffle on the digest."""
+    return (
+        docs.select(F.col(id_col), content_digest_col(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+def shingles_col(text: Column, k: int = 5) -> Column:
+    """Word k-shingles as an array<string> (distinct, order-free)."""
+    words = F.split(F.lower(text), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    )
+
+
+def minhash_col(shingles: Column, seed: int) -> Column:
+    """min over shingles of md5_60(seed || shingle) — one permutation."""
+    hashed = F.transform(
+        shingles, lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)), 1, 15), 16, 10
+        ).cast("long")
+    )
+    return F.array_min(hashed)
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 8) -> Column:
+    return F.array(*[minhash_col(shingles, i) for i in range(n_hashes)])
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidate pairs.
+
+    Pipeline: shingle → n_hashes minhashes → split into ``bands`` bands
+    → explode (doc, band, band_signature) → self-join per bucket →
+    candidate pairs (a < b). The join key (band, signature) keeps all
+    comparisons inside buckets — the cross join never materializes.
+    Returns distinct (a_id, b_id) candidate pairs.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(shingles_col(F.col(text_col), shingle_k), n_hashes)
+    with_sig = docs.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    banded = with_sig.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    left = banded.select(
+        F.col("doc").alias("a_id"), "band", "band_sig"
+    )
+    right = banded.select(F.col("doc").alias("b_id"), "band", "band_sig")
+    pairs = (
+        left.join(right, on=["band", "band_sig"], how="inner")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_col(text: Column, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens (bit-majority of token hashes).
+
+    ``bits`` defaults to 16 (not 64) so the per-bit majority vote stays
+    a compact higher-order expression; the token hash is md5_60-based so
+    a DuckDB twin exists. For each bit i: sign(sum over tokens of
+    (bit_i(hash(t)) ? 1 : -1)) → bit i of the fingerprint.
+    """
+    tokens = F.split(F.lower(text), r"\s+")
+    hashes = F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for i in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def simhash_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Group documents by identical simhash → near-dup clusters."""
+    return (
+        docs.select(F.col(id_col), simhash_col(F.col(text_col), bits).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for blocked candidate ``pairs(a_id, b_id)``.
+
+    Joins each side to its shingle set (two broadcast-sized joins when
+    pairs ≪ corpus; shuffle joins otherwise) and computes
+    |A∩B| / |A∪B| with native array ops.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("__id"),
+        shingles_col(F.col(text_col), k).alias("__sh"),
+    )
+    a = sh.select(F.col("__id").alias("a_id"), F.col("__sh").alias("a_sh"))
+    b = sh.select(F.col("__id").alias("b_id"), F.col("__sh").alias("b_sh"))
+    joined = pairs.join(a, on="a_id").join(b, on="b_id")
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+    union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,83 @@
+"""Text analysis for training-data pipelines over ``documents``:
+language-ID heuristic, quality scoring, token counting, rolling-hash
+document fingerprinting. All native column expressions with DuckDB SQL
+twins in the driver registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un", "una", "por"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization (lowercased), empty-safe."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text)).cast("int")
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND
+    letter/digit/punct boundaries (a cheap BPE stand-in: counts the
+    regex pieces a byte-pair tokenizer would start from)."""
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    return F.size(pieces).cast("int")
+
+
+def lang_votes_col(text: Column, lang: str) -> Column:
+    """Count of profile-stopword hits for one language."""
+    toks = tokens_col(text)
+    profile = LANG_PROFILES[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*profile))).cast("int")
+
+
+def lang_id_col(text: Column) -> Column:
+    """argmax over language profiles; 'und' when no profile hits."""
+    votes = [(lang, lang_votes_col(text, lang)) for lang in sorted(LANG_PROFILES)]
+    best_lang = F.lit("und")
+    best_votes = F.lit(0)
+    for lang, v in votes:  # ties break toward earlier alphabetical lang
+        take = v > best_votes
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_votes = F.when(take, v).otherwise(best_votes)
+    return best_lang
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]:
+    0.4·length_score + 0.3·alpha_ratio + 0.3·(1 - punct_ratio)
+
+    length_score = min(n_tokens / 100, 1); alpha_ratio = alphabetic
+    chars / total; punct_ratio = punctuation density. Deterministic,
+    SQL-twinnable (driverq registry)."""
+    n_tok = token_count_col(text).cast("double")
+    length_score = F.least(n_tok / 100.0, F.lit(1.0))
+    total = F.greatest(F.length(text).cast("double"), F.lit(1.0))
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double")
+    score = 0.4 * length_score + 0.3 * (alpha / total) + 0.3 * (1.0 - punct / total)
+    return F.round(score, 6)
+
+
+def fingerprint_col(text: Column, window: int = 64) -> Column:
+    """Document fingerprint: 60-bit md5 of length-prefixed prefix+suffix
+    windows — a cheap rolling-hash-style content stamp for shard-local
+    incremental dedup (pairs with pipeline/dedup.py exact_dedup for the
+    authoritative pass)."""
+    head = F.substring(text, 1, window)
+    tail = F.substring(text, -window, window)
+    packed = F.concat_ws("|", F.length(text).cast("string"), head, tail)
+    return F.conv(F.substring(F.md5(packed), 1, 15), 16, 10).cast("long")

@@ -234,7 +234,10 @@ def run_round(
     )
     novel = dedup_candidates(unique, url_seen)
     novel, n_novel = assign_ordinals(
-        novel, ["parent_ordinal", "link_seq", "canon_url"], base=max_ordinal
+        novel,
+        ["parent_ordinal", "link_seq", "canon_url"],
+        base=max_ordinal,
+        lead_bound=max_ordinal,
     )
     novel = novel.persist()
     new_max_ordinal = max_ordinal + n_novel

@@ -481,3 +481,399 @@ def q_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("retired", F.col("total_expenditure") > cfg.total_budget)
         .orderBy("class_key")
     )
+
+
+# ===========================================================================
+# Training-data pipeline queries (documents / embeddings / events)
+# ===========================================================================
+
+# -------------------------------------------------- 13. exact dedup (digest)
+
+@register(
+    "exact_dedup_docs",
+    """
+    select md5(text) as digest, cast(min(doc_id) as bigint) as keep_id,
+           cast(count(*) as bigint) as n_copies
+    from documents group by 1 order by digest
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .orderBy("digest")
+    )
+
+
+# -------------------------------------------------- 14. minhash LSH near-dup pairs
+
+_DUCK_SHINGLES = r"""
+    select doc_id,
+      list_distinct(list_transform(
+        generate_series(1, greatest(len(words) - 2, 1)),
+        i -> array_to_string(words[i:i+2], ' '))) as sh
+    from (select doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')
+              as words
+          from documents)
+"""
+
+
+def _duck_mh(seed: int) -> str:
+    return (
+        "list_aggregate(list_transform(sh, s -> "
+        f"('0x' || substr(md5('{seed}|' || s), 1, 15))::BIGINT), 'min')"
+    )
+
+
+_DUCK_MINHASH_PAIRS = f"""
+    with sh as ({_DUCK_SHINGLES}),
+    sig as (select doc_id,
+      {", ".join(f"{_duck_mh(i)} as mh{i}" for i in range(8))}
+      from sh),
+    bands as (
+      select doc_id, 0 as band, mh0::varchar || ',' || mh1::varchar as band_sig from sig
+      union all
+      select doc_id, 1, mh2::varchar || ',' || mh3::varchar from sig
+      union all
+      select doc_id, 2, mh4::varchar || ',' || mh5::varchar from sig
+      union all
+      select doc_id, 3, mh6::varchar || ',' || mh7::varchar from sig
+    )
+    select distinct cast(a.doc_id as bigint) as a_id,
+                    cast(b.doc_id as bigint) as b_id
+    from bands a join bands b on a.band = b.band and a.band_sig = b.band_sig
+    where a.doc_id < b.doc_id
+    order by a_id, b_id
+"""
+
+
+@register("minhash_lsh_pairs", _DUCK_MINHASH_PAIRS)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heritrix_spark.pipeline.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_dedup(docs, n_hashes=8, bands=4, shingle_k=3)
+    return pairs.select(
+        F.col("a_id").cast("long"), F.col("b_id").cast("long")
+    ).orderBy("a_id", "b_id")
+
+
+# -------------------------------------------------- 15. n-gram jaccard over blocked pairs
+
+@register(
+    "ngram_jaccard",
+    f"""
+    with pairs as ({_DUCK_MINHASH_PAIRS}),
+    sh as ({_DUCK_SHINGLES})
+    select p.a_id, p.b_id,
+      round(case when len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        then len(list_intersect(a.sh, b.sh))::double
+             / len(list_distinct(list_concat(a.sh, b.sh)))::double
+        else 0.0 end, 6) as jaccard
+    from pairs p
+    join sh a on a.doc_id = p.a_id
+    join sh b on b.doc_id = p.b_id
+    where case when len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        then len(list_intersect(a.sh, b.sh))::double
+             / len(list_distinct(list_concat(a.sh, b.sh)))::double
+        else 0.0 end >= 0.2
+    order by a_id, b_id
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heritrix_spark.pipeline.dedup import minhash_lsh_dedup, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_dedup(docs, n_hashes=8, bands=4, shingle_k=3)
+    out = ngram_jaccard_pairs(docs, pairs, k=3, threshold=0.2)
+    return out.select(
+        F.col("a_id").cast("long"), F.col("b_id").cast("long"), "jaccard"
+    ).orderBy("a_id", "b_id")
+
+
+# -------------------------------------------------- 16. simhash clustering
+
+def _duck_simhash(bits: int = 16) -> str:
+    votes = []
+    for i in range(bits):
+        votes.append(
+            "case when list_aggregate(list_transform(toks, t -> "
+            f"case when (('0x' || substr(md5(t), 1, 15))::BIGINT >> {i}) & 1 = 1 "
+            "then 1 else -1 end), 'sum') > 0 "
+            f"then {1 << i} else 0 end"
+        )
+    return " + ".join(votes)
+
+
+@register(
+    "simhash_clusters",
+    f"""
+    with t as (select doc_id,
+        string_split_regex(lower(text), '\\s+') as toks from documents),
+    s as (select doc_id, cast({_duck_simhash(16)} as bigint) as simhash from t)
+    select simhash, cast(min(doc_id) as bigint) as keep_id,
+           cast(count(*) as bigint) as n_docs
+    from s group by simhash having count(*) > 1 order by simhash
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heritrix_spark.pipeline.dedup import simhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        simhash_dedup(docs, bits=16)
+        .select("simhash", F.col("keep_id").cast("long"), "n_docs")
+        .orderBy("simhash")
+    )
+
+
+# -------------------------------------------------- 17. brute-force cosine top-k
+
+_DUCK_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+@register(
+    "cosine_topk",
+    f"""
+    with q as (select vec_id as query_id, embedding as qv
+               from embeddings where vec_id < 5),
+    c as (select vec_id as neighbor_id, embedding as cv from embeddings),
+    p as (select query_id, neighbor_id,
+            {_DUCK_DOT.format(a="qv", b="cv")} /
+            (sqrt({_DUCK_DOT.format(a="qv", b="qv")}) *
+             sqrt({_DUCK_DOT.format(a="cv", b="cv")})) as cosine
+          from c, q where neighbor_id <> query_id),
+    r as (select query_id, neighbor_id, cosine,
+            row_number() over (partition by query_id
+                               order by cosine desc, neighbor_id) as rnk
+          from p)
+    select cast(query_id as bigint) as query_id,
+           cast(neighbor_id as bigint) as neighbor_id,
+           cast(rnk as int) as rank
+    from r where rnk <= 3 order by query_id, rank
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heritrix_spark.pipeline.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+# -------------------------------------------------- 18. text stats (lang/quality/tokens)
+
+_DUCK_LANGS = {
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un", "una", "por"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"),
+}
+
+
+def _duck_votes(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _DUCK_LANGS[lang])
+    return f"len(list_filter(toks, t -> list_contains([{words}], t)))"
+
+
+@register(
+    "text_stats",
+    f"""
+    with t as (select doc_id, text,
+        list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') as toks
+        from documents),
+    v as (select doc_id, text, toks,
+        {", ".join(f"{_duck_votes(lg)} as v{lg}" for lg in sorted(_DUCK_LANGS))}
+        from t)
+    select cast(doc_id as bigint) as doc_id,
+      cast(len(toks) as int) as n_tokens,
+      cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+        as int) as n_bpe_tokens,
+      case when greatest(vde, ven, ves, vfr) = 0 then 'und'
+           when vde = greatest(vde, ven, ves, vfr) then 'de'
+           when ven = greatest(vde, ven, ves, vfr) then 'en'
+           when ves = greatest(vde, ven, ves, vfr) then 'es'
+           else 'fr' end as lang_guess,
+      round(0.4 * least(len(toks)::double / 100.0, 1.0)
+        + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double
+                 / greatest(length(text)::double, 1.0))
+        + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::double
+                 / greatest(length(text)::double, 1.0)), 6) as quality
+    from v order by doc_id
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heritrix_spark.pipeline.textstats import (
+        bpe_ish_token_count_col,
+        lang_id_col,
+        quality_score_col,
+        token_count_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+        lang_id_col(F.col("text")).alias("lang_guess"),
+        quality_score_col(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+# -------------------------------------------------- 19. document fingerprint
+
+@register(
+    "doc_fingerprint",
+    """
+    select cast(doc_id as bigint) as doc_id,
+      ('0x' || substr(md5(concat_ws('|', cast(length(text) as varchar),
+          substr(text, 1, 64),
+          substr(text, greatest(length(text) - 63, 1), 64))), 1, 15))::BIGINT
+        as fingerprint
+    from documents order by doc_id
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = F.concat_ws(
+        "|",
+        F.length("text").cast("string"),
+        F.expr("substring(text, 1, 64)"),
+        F.expr("substring(text, greatest(length(text) - 63, 1), 64)"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        F.conv(F.substring(F.md5(packed), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+# -------------------------------------------------- 20. windowed event aggregation
+
+@register(
+    "events_windowed",
+    """
+    select date_trunc('minute', ts) as window_start, event_type,
+      cast(count(*) as bigint) as n_events,
+      cast(sum(cast(value as decimal(14,2))) as decimal(18,2)) as total_value
+    from events group by 1, 2 order by window_start, event_type
+    """,
+)
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# -------------------------------------------------- 21. sessionization (streaming analog)
+
+@register(
+    "events_sessionized",
+    """
+    with e as (select user_id, event_id, ts,
+        lag(ts) over (partition by user_id order by ts, event_id) as prev
+        from events),
+    s as (select user_id, event_id, ts,
+        case when prev is null or date_diff('second', prev, ts) > 1800
+             then 1 else 0 end as is_new
+        from e),
+    n as (select user_id, ts, event_id,
+        sum(is_new) over (partition by user_id order by ts, event_id
+                          rows between unbounded preceding and current row)
+          as session_no
+        from s)
+    select cast(user_id as bigint) as user_id,
+      cast(session_no as bigint) as session_no,
+      cast(count(*) as bigint) as n_events,
+      min(ts) as session_start, max(ts) as session_end
+    from n group by user_id, session_no order by user_id, session_no
+    """,
+)
+def q_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = events.withColumn("prev", F.lag("ts").over(w))
+    s = e.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev").isNull()
+            | (F.expr("timestampdiff(SECOND, prev, ts)") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    n = s.withColumn(
+        "session_no",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        n.groupBy(F.col("user_id").cast("long").alias("user_id"), "session_no")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            F.col("session_no").cast("long"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+# -------------------------------------------------- 22. full crawl rounds (rows-only)
+
+def q_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end operator: run a complete crawl on the
+    deterministic synthetic fixture and return the fetch log. No SQL
+    oracle (iterative, stateful); the authoritative check is the pytest
+    oracle-simulator equality (tests/test_end_to_end.py)."""
+    import tempfile
+
+    from heritrix_spark.fixtures.gen import generate, write_parquet
+    from heritrix_spark.plans.crawl import crawl
+
+    fx = generate(hosts=4, docs_per_host=4, links_per_doc=3, seed=7)
+    with tempfile.TemporaryDirectory(prefix="hxq_") as tmp:
+        paths = write_parquet(fx, tmp)
+        docs = spark.read.parquet(paths["docs"])
+        seeds = spark.read.parquet(paths["seeds"])
+        robots = spark.read.parquet(paths["robots"])
+        result = crawl(spark, f"{tmp}/store", docs, seeds, robots)
+        log = result.fetch_log().orderBy("round", "class_key", "ordinal")
+        log = spark.createDataFrame(log.collect(), log.schema)  # detach from tmp store
+    return log
+
+
+QUERIES["crawl_rounds"] = q_crawl_rounds

@@ -90,3 +90,8 @@ class PolitenessConfig:
     preference_depth_hops: int = -1  # FrontierPreparer preferenceDepthHops default
     max_hops: int = 20  # TooManyHopsDecideRule default maxHops
     n_seen_shards: int = 64  # url_seen hash shards (ours; scale knob)
+    # Test knob: when true, ~1/7 of existing docs (md5-selected) fail
+    # their first fetch attempt with S_CONNECT_FAILED and succeed on
+    # retry — exercises needsReenqueuing/retryDelay semantics
+    # (AbstractFrontier.java:1078-1111, 836-841) deterministically.
+    flaky_first_attempt: bool = False

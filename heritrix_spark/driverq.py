@@ -455,7 +455,8 @@ def q_top_queues(spark: SparkSession, sf_dir: str) -> DataFrame:
            case when fetch_status > 0 then 1
                 when fetch_status in (-9998, -5002, -5000, -5001, -4002, -4001, -6000)
                   then 0
-                when fetch_status in (-50, -2, -3, -1) and attempts < 30 then 0
+                when fetch_status = -50 and attempts < 30 then 0
+                when fetch_status in (-2, -3, -1) and attempts < 30 then 1
                 else 101 end as expend
           from u)
     select class_key, cast(sum(expend) as bigint) as total_expenditure,
@@ -472,6 +473,7 @@ def q_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         expenditure_col(
             disposition_col(F.col("fetch_status"), F.col("attempts"), cfg),
             F.lit(1),
+            F.col("fetch_status"),
             cfg,
         ).alias("expend"),
     )

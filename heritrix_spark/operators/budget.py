@@ -66,19 +66,23 @@ def disposition_col(fetch_status: Column, attempts: Column,
     )
 
 
-def expenditure_col(disposition: Column, cost: Column,
+def expenditure_col(disposition: Column, cost: Column, fetch_status: Column,
                     cfg: PolitenessConfig = PolitenessConfig()) -> Column:
-    """Cost charged to the queue for this disposition.
+    """Cost charged to the queue for this disposition
+    (WorkQueueFrontier.processFinish :906-997):
 
     success → cost; failure → cost + error_penalty; disregard → 0;
-    retry (S_DEFERRED et al.) → cost is expended except for DEFERRED —
-    simplified here to 0 for retries (the URI returns to the queue; the
-    reference expends on non-deferred retries, processFinish :976 — we
-    match that in the round plan where status is known).
+    retry → cost, except S_DEFERRED which expends nothing (:976
+    "expend(cost) unless DEFERRED").
     """
+    from heritrix_spark.constants import S_DEFERRED
+
     return (
         F.when(disposition == "success", cost)
         .when(disposition == "failure", cost + F.lit(cfg.error_penalty))
+        .when(
+            (disposition == "retry") & (fetch_status != F.lit(S_DEFERRED)), cost
+        )
         .otherwise(F.lit(0))
     ).cast("long")
 
@@ -99,10 +103,17 @@ def disposition_py(
 
 
 def expenditure_py(
-    disposition: str, cost: int, cfg: PolitenessConfig = PolitenessConfig()
+    disposition: str,
+    cost: int,
+    fetch_status: int,
+    cfg: PolitenessConfig = PolitenessConfig(),
 ) -> int:
+    from heritrix_spark.constants import S_DEFERRED
+
     if disposition == "success":
         return cost
     if disposition == "failure":
         return cost + cfg.error_penalty
+    if disposition == "retry" and fetch_status != S_DEFERRED:
+        return cost
     return 0

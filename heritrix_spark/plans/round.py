@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 
 from heritrix_spark.constants import (
     NORMAL,
+    S_CONNECT_FAILED,
     S_ROBOTS_PRECLUDED,
     PolitenessConfig,
 )
@@ -177,18 +178,27 @@ def run_round(
     duration_found = F.lit(10) + F.pmod(
         total_text + F.lit(7) * F.size("spans"), F.lit(491)
     )
+    is_flaky = (
+        F.conv(F.substring(F.md5(F.col("canon_url")), 1, 2), 16, 10).cast("int")
+        % 7
+        == 0
+    ) if cfg.flaky_first_attempt else F.lit(False)
     fetched = (
         fetched.withColumn(
             "fetch_status",
             F.when(~F.col("robots_allowed"), F.lit(S_ROBOTS_PRECLUDED))
+            .when(
+                F.col("spans").isNotNull() & is_flaky & (F.col("attempts") == 0),
+                F.lit(S_CONNECT_FAILED),
+            )
             .when(F.col("spans").isNotNull(), F.lit(200))
             .otherwise(F.lit(404)),
         )
         .withColumn(
             "fetch_duration_ms",
-            F.when(~F.col("robots_allowed"), F.lit(0))
-            .when(F.col("spans").isNotNull(), duration_found)
-            .otherwise(F.lit(25))
+            F.when(F.col("fetch_status") == 200, duration_found)
+            .when(F.col("fetch_status") == 404, F.lit(25))
+            .otherwise(F.lit(0))
             .cast("long"),
         )
         .withColumn(
@@ -270,24 +280,22 @@ def run_round(
     )
 
     # ---- host/budget update (spec step 6)
-    host_updates = fetched.select(
-        "class_key",
-        expenditure_col(F.col("disposition"), F.col("cost"), cfg).alias("expend"),
-        F.when(
-            F.col("disposition").isin("success", "failure"),
-            F.lit(now)
-            + politeness_delay_col(F.col("fetch_duration_ms"), F.col("crawl_delay"), cfg),
-        )
-        .otherwise(F.lit(now))
-        .cast("long")
-        .alias("new_wake"),
+    delay_expr = (
         F.when(
             F.col("disposition").isin("success", "failure"),
             politeness_delay_col(F.col("fetch_duration_ms"), F.col("crawl_delay"), cfg),
         )
+        .when(F.col("disposition") == "retry", F.lit(cfg.retry_delay_s * 1000))
         .otherwise(F.lit(0))
         .cast("long")
-        .alias("politeness_delay_ms"),
+    )
+    host_updates = fetched.select(
+        "class_key",
+        expenditure_col(
+            F.col("disposition"), F.col("cost"), F.col("fetch_status"), cfg
+        ).alias("expend"),
+        (F.lit(now) + delay_expr).cast("long").alias("new_wake"),
+        delay_expr.alias("politeness_delay_ms"),
     )
     updated = (
         host_state.join(

@@ -62,3 +62,30 @@ def test_engine_matches_oracle(spark, fixture_small, tmp_path):
 
     # --- frontier drained
     assert result.frontier().count() == 0
+
+
+def test_engine_matches_oracle_with_retries(spark, fixture_small, tmp_path):
+    """Flaky-first-attempt mode: S_CONNECT_FAILED retries (expend cost,
+    900 s snooze, re-enqueue with same ordinal) must match the oracle."""
+    fx, paths = fixture_small
+    cfg = PolitenessConfig(flaky_first_attempt=True)
+
+    sim = simulate(fx.doc_map(), fx.seeds, fx.robots_map(), cfg)
+    assert any(r["disposition"] == "retry" for r in sim.fetch_log)
+
+    docs = spark.read.parquet(paths["docs"])
+    seeds = spark.read.parquet(paths["seeds"])
+    robots = spark.read.parquet(paths["robots"])
+    result = crawl(spark, str(tmp_path / "store_flaky"), docs, seeds, robots, cfg)
+
+    got_log = [
+        r.asDict()
+        for r in result.fetch_log().orderBy("round", "class_key", "ordinal").collect()
+    ]
+    exp_log = sorted(
+        sim.fetch_log, key=lambda r: (r["round"], r["class_key"], r["ordinal"])
+    )
+    assert len(got_log) == len(exp_log)
+    for g, e in zip(got_log, exp_log):
+        assert g == e, f"fetch_log row mismatch:\n engine {g}\n oracle {e}"
+    assert {r["canon_url"] for r in result.url_seen().collect()} == sim.url_seen

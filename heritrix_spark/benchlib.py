@@ -85,8 +85,17 @@ def schedule_dedup_pipeline(
     """The measured job: prepare → collapse dups → anti-join seen →
     deterministic ordinals. Identical operator chain to plans/round.py
     steps 4-5 (scope omitted: the synthetic stream is all in scope)."""
+    from heritrix_spark.operators.scope import default_scope
+
+    cands = candidates.filter(
+        default_scope(
+            F.col("url"),
+            F.col("hops_path"),
+            ["http://(example,"],  # synthetic corpus is all .example
+        )
+    )
     cands = (
-        candidates.withColumn("canon_url", canonicalize_col("url"))
+        cands.withColumn("canon_url", canonicalize_col("url"))
         .withColumn("class_key", class_key_col("canon_url"))
         .withColumn(
             "directive",

@@ -90,6 +90,23 @@ class PolitenessConfig:
     preference_depth_hops: int = -1  # FrontierPreparer preferenceDepthHops default
     max_hops: int = 20  # TooManyHopsDecideRule default maxHops
     n_seen_shards: int = 64  # url_seen hash shards (ours; scale knob)
+    # Queue precedence (engine/.../frontier/precedence/*):
+    # policy ∈ base | highest_uri | success_counts
+    # - base: constant basePrecedence (BaseQueuePrecedencePolicy.java:44)
+    # - highest_uri: base + min enqueued URI precedence
+    #   (HighestUriQueuePrecedencePolicy :80-90)
+    # - success_counts: base - 1 + thresholds crossed by success count,
+    #   increments "100,1000"-style with last repeating
+    #   (SuccessCountsQueuePrecedencePolicy :84-100)
+    queue_precedence_policy: str = "base"
+    queue_base_precedence: int = 3  # BaseQueuePrecedencePolicy default
+    success_increments: tuple[int, ...] = (100, 1000)
+    # Bounded activation: at most K ready hosts emit per round, chosen by
+    # (queue_precedence asc, class_key asc) — the precedence-ordered
+    # activation analog (WorkQueueFrontier.activateInactiveQueue
+    # :753-786); -1 = unlimited (default: rounds emit from every ready
+    # host, equivalent to unbounded toe threads).
+    max_hosts_per_round: int = -1
     # Test knob: when true, ~1/7 of existing docs (md5-selected) fail
     # their first fetch attempt with S_CONNECT_FAILED and succeed on
     # retry — exercises needsReenqueuing/retryDelay semantics

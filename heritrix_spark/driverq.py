@@ -879,3 +879,110 @@ def q_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["crawl_rounds"] = q_crawl_rounds
+
+
+# -------------------------------------------------- 23. queue precedence policies
+
+@register(
+    "queue_precedence",
+    f"""
+    with u as ({_DUCK_URLS}),
+    k as (select {class_key_sql(canonicalize_sql('url'))} as class_key,
+                 precedence,
+                 case when fetch_status > 0 then 1 else 0 end as succ
+          from u),
+    agg as (select class_key, min(precedence) as min_prec,
+                   sum(succ) as successes
+            from k group by class_key)
+    select class_key,
+      cast(3 as int) as base_precedence,
+      cast(3 + min_prec as int) as highest_uri_precedence,
+      cast(2 + case when successes <= 0 then 0
+                    when successes <= 100 then 1
+                    else 1 + cast(ceil((successes - 100)::double / 1000) as int)
+               end as int) as success_counts_precedence
+    from agg order by class_key
+    """,
+)
+def q_queue_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heritrix_spark.operators.prepare import (
+        base_queue_precedence_col,
+        highest_uri_queue_precedence_col,
+        success_counts_queue_precedence_col,
+    )
+
+    u = _docs_urls(spark, sf_dir).select(
+        class_key_col(canonicalize_col("url")).alias("class_key"),
+        "precedence",
+        F.when(F.col("fetch_status") > 0, 1).otherwise(0).alias("succ"),
+    )
+    agg = u.groupBy("class_key").agg(
+        F.min("precedence").alias("min_prec"),
+        F.sum("succ").alias("successes"),
+    )
+    return agg.select(
+        "class_key",
+        base_queue_precedence_col().cast("int").alias("base_precedence"),
+        highest_uri_queue_precedence_col(F.col("min_prec"))
+        .cast("int")
+        .alias("highest_uri_precedence"),
+        success_counts_queue_precedence_col(F.col("successes"))
+        .cast("int")
+        .alias("success_counts_precedence"),
+    ).orderBy("class_key")
+
+
+# -------------------------------------------------- 24. fixup + full canonicalization
+
+@register(
+    "uuri_fixup",
+    None,  # placeholder replaced below (needs fixup_sql import)
+)
+def q_uuri_fixup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from heritrix_spark.functions.fixup import fixup_col, full_canonicalize_col
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    messy = spark.sql(
+        "select doc_id, "
+        "case when doc_id % 4 = 0 then ' HTTP://Host' || cast(doc_id % 9 as string)"
+        "  || '.Example.COM:80/A B/' || cast(doc_id as string) || '#frag ' "
+        "when doc_id % 4 = 1 then 'https://H' || cast(doc_id % 9 as string)"
+        "  || '.example:443/x/' || cast(doc_id as string) "
+        "when doc_id % 4 = 2 then 'http://h' || cast(doc_id % 9 as string)"
+        "  || '.example.' "
+        "else 'http://h' || cast(doc_id % 9 as string) || '.example' end as raw_url "
+        "from documents"
+    )
+    return messy.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        fixup_col("raw_url").alias("fixed_url"),
+        full_canonicalize_col(F.col("raw_url")).alias("canon_url"),
+    ).orderBy("doc_id")
+
+
+def _uuri_fixup_oracle() -> str:
+    from heritrix_spark.functions.fixup import fixup_sql, full_canonicalize_sql
+
+    messy = (
+        "select doc_id, "
+        "case when doc_id % 4 = 0 then ' HTTP://Host' || cast(doc_id % 9 as string)"
+        "  || '.Example.COM:80/A B/' || cast(doc_id as string) || '#frag ' "
+        "when doc_id % 4 = 1 then 'https://H' || cast(doc_id % 9 as string)"
+        "  || '.example:443/x/' || cast(doc_id as string) "
+        "when doc_id % 4 = 2 then 'http://h' || cast(doc_id % 9 as string)"
+        "  || '.example.' "
+        "else 'http://h' || cast(doc_id % 9 as string) || '.example' end as raw_url "
+        "from documents"
+    )
+    return (
+        f"with m as ({messy}) "
+        f"select cast(doc_id as bigint) as doc_id, "
+        f"{fixup_sql('raw_url')} as fixed_url, "
+        f"{full_canonicalize_sql('raw_url')} as canon_url "
+        f"from m order by doc_id"
+    )
+
+
+ORACLE_SQL["uuri_fixup"] = _uuri_fixup_oracle()

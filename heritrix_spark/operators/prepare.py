@@ -226,3 +226,65 @@ def assign_ordinals(
         .drop("__mid", "__pid")
     )
     return result, int(sum(counts.values()))
+
+
+# ------------------------------------------------------ queue precedence
+# (engine/.../frontier/precedence/*QueuePrecedencePolicy.java)
+
+
+def base_queue_precedence_col(cfg: PolitenessConfig = PolitenessConfig()) -> Column:
+    """BaseQueuePrecedencePolicy: constant (default 3, :44)."""
+    return F.lit(cfg.queue_base_precedence)
+
+
+def highest_uri_queue_precedence_col(
+    min_uri_precedence: Column, cfg: PolitenessConfig = PolitenessConfig()
+) -> Column:
+    """HighestUriQueuePrecedencePolicy (:80-90): base + lowest enqueued
+    URI precedence (0 when the queue is empty)."""
+    return F.lit(cfg.queue_base_precedence) + F.coalesce(
+        min_uri_precedence, F.lit(0)
+    )
+
+
+def success_counts_queue_precedence_col(
+    successes: Column, cfg: PolitenessConfig = PolitenessConfig()
+) -> Column:
+    """SuccessCountsQueuePrecedencePolicy (:84-100): start at base-1 and
+    add one rank per increment threshold crossed by the queue's success
+    count; the last increment repeats."""
+    incs = list(cfg.success_increments)
+    base = cfg.queue_base_precedence
+    out = F.when(successes <= 0, F.lit(0))
+    cum = 0
+    for k, inc in enumerate(incs[:-1]):
+        cum += inc
+        out = out.when(successes <= cum, F.lit(k + 1))
+    last = incs[-1]
+    out = out.otherwise(
+        F.lit(len(incs) - 1)
+        + F.ceil((successes - F.lit(cum)).cast("double") / F.lit(last)).cast("int")
+    )
+    return (F.lit(base - 1) + out).cast("int")
+
+
+def queue_precedence_py(
+    policy: str,
+    base: int,
+    successes: int,
+    min_uri_precedence: int | None,
+    increments: tuple[int, ...],
+) -> int:
+    """Python twin used by the oracle simulator."""
+    if policy == "base":
+        return base
+    if policy == "highest_uri":
+        return base + (min_uri_precedence if min_uri_precedence is not None else 0)
+    if policy == "success_counts":
+        prec, s, i = base - 1, successes, 0
+        while s > 0:
+            s -= increments[min(i, len(increments) - 1)]
+            prec += 1
+            i += 1
+        return prec
+    raise ValueError(f"unknown queue precedence policy {policy!r}")

@@ -19,9 +19,20 @@ THE ROUND SPEC (normative):
    expenditure=0, not retired.
 
 1. A round r (logical clock in ms, starts at 0):
-   eligible = hosts with nonempty queue and not retired. None → done.
+   eligible = hosts with nonempty queue, not retired, and queue
+   precedence < precedence_floor (WorkQueueFrontier.java:164-170).
+   Queue precedence per cfg.queue_precedence_policy:
+   'base' = constant base (BaseQueuePrecedencePolicy :44);
+   'highest_uri' = base + min enqueued URI precedence
+   (HighestUriQueuePrecedencePolicy :80-90); 'success_counts' =
+   base - 1 + increment thresholds crossed by the host's success count
+   (SuccessCountsQueuePrecedencePolicy :84-100).
+   None eligible → done.
    now_r = max(now_{r-1}, min(wake_time over eligible)).
-   ready  = eligible hosts with wake_time <= now_r.
+   ready  = eligible hosts with wake_time <= now_r; when
+   cfg.max_hosts_per_round > 0, only the best K by (queue_precedence,
+   class_key) emit — precedence-ordered activation
+   (activateInactiveQueue :753-786).
    Emit the head of each ready queue: min (directive, precedence,
    ordinal) — the BdbMultipleWorkQueues.calculateInsertKey order
    (:425-441). One URI per host per round = the reference's
@@ -70,6 +81,10 @@ THE ROUND SPEC (normative):
    'success'/'failure' → expenditure += cost (+error_penalty on
    failure); wake_time = now_r + politeness_delay(duration, crawl_delay)
    (DispositionProcessor.politenessDelayFor :231-294).
+   'retry' → expenditure += cost unless S_DEFERRED (processFinish
+   :976), wake_time = now_r + retry_delay_s*1000 (retryDelayFor
+   :836-841), and the URI re-enqueues in place (same ordinal,
+   attempts+1). 'success' also increments the host's success count.
    'disregard' → expenditure += 0, wake_time = now_r (no fetch
    occurred → durationToWait = 0).
    total_budget >= 0 and expenditure > total_budget → retired
@@ -128,6 +143,7 @@ class PendingUri:
 class HostState:
     wake_time: int = 0
     total_expenditure: int = 0
+    succeeded: int = 0
     retired: bool = False
 
 
@@ -227,15 +243,33 @@ def simulate(
         queues.setdefault(ck, []).append(pu)
         hosts.setdefault(ck, HostState())
 
+    from heritrix_spark.operators.prepare import queue_precedence_py
+
+    def qprec(ck: str) -> int:
+        q = queues.get(ck) or []
+        return queue_precedence_py(
+            cfg.queue_precedence_policy,
+            cfg.queue_base_precedence,
+            hosts[ck].succeeded,
+            min((p.precedence for p in q), default=None),
+            cfg.success_increments,
+        )
+
     now = 0
     for round_no in range(1, max_rounds + 1):
         eligible = [
-            ck for ck, q in queues.items() if q and not hosts[ck].retired
+            ck
+            for ck, q in queues.items()
+            if q and not hosts[ck].retired and qprec(ck) < cfg.precedence_floor
         ]
         if not eligible:
             break
         now = max(now, min(hosts[ck].wake_time for ck in eligible))
         ready = [ck for ck in eligible if hosts[ck].wake_time <= now]
+        if cfg.max_hosts_per_round > 0:
+            ready = sorted(ready, key=lambda ck: (qprec(ck), ck))[
+                : cfg.max_hosts_per_round
+            ]
         if not ready:
             continue  # unreachable: now >= min wake_time
         res.rounds = round_no
@@ -301,6 +335,8 @@ def simulate(
             host.total_expenditure += expenditure_py(
                 disposition, uri.cost, status, cfg
             )
+            if disposition == "success":
+                host.succeeded += 1
             if disposition in ("success", "failure"):
                 delay = politeness_delay_py(duration, crawl_delay, cfg)
             elif disposition == "retry":

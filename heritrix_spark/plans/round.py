@@ -75,6 +75,7 @@ HOST_STATE_SCHEMA = T.StructType(
         T.StructField("class_key", T.StringType()),
         T.StructField("wake_time", T.LongType()),
         T.StructField("total_expenditure", T.LongType()),
+        T.StructField("succeeded", T.LongType()),
         T.StructField("retired", T.BooleanType()),
     ]
 )
@@ -125,6 +126,7 @@ def schedule_seeds(
         "class_key",
         F.lit(0).cast("long").alias("wake_time"),
         F.lit(0).cast("long").alias("total_expenditure"),
+        F.lit(0).cast("long").alias("succeeded"),
         F.lit(False).alias("retired"),
     )
     return frontier, url_seen, host_state, n
@@ -144,9 +146,28 @@ def run_round(
     cfg: PolitenessConfig = PolitenessConfig(),
 ) -> RoundResult:
     # ---- clock + ready-host selection (spec step 1)
-    nonempty_hosts = frontier.select("class_key").distinct()
-    eligible = nonempty_hosts.join(
+    from heritrix_spark.operators.prepare import (
+        base_queue_precedence_col,
+        highest_uri_queue_precedence_col,
+        success_counts_queue_precedence_col,
+    )
+
+    queue_stats = frontier.groupBy("class_key").agg(
+        F.min("precedence").alias("__min_uri_prec")
+    )
+    eligible = queue_stats.join(
         host_state.filter(~F.col("retired")), on="class_key", how="inner"
+    )
+    if cfg.queue_precedence_policy == "highest_uri":
+        qprec = highest_uri_queue_precedence_col(F.col("__min_uri_prec"), cfg)
+    elif cfg.queue_precedence_policy == "success_counts":
+        qprec = success_counts_queue_precedence_col(F.col("succeeded"), cfg)
+    else:
+        qprec = base_queue_precedence_col(cfg)
+    # precedence floor: queues at/above the floor are never crawled
+    # (WorkQueueFrontier.java:164-170, gating :594,820)
+    eligible = eligible.withColumn("__qprec", qprec.cast("int")).filter(
+        F.col("__qprec") < F.lit(cfg.precedence_floor)
     )
     row = eligible.agg(F.min("wake_time").alias("w"), F.count("*").alias("n")).first()
     if row["n"] == 0:
@@ -161,7 +182,17 @@ def run_round(
         .filter(F.col("__rank") == 1)
         .drop("__rank")
     )
-    ready_hosts = eligible.filter(F.col("wake_time") <= F.lit(now)).select("class_key")
+    ready = eligible.filter(F.col("wake_time") <= F.lit(now))
+    if cfg.max_hosts_per_round > 0:
+        # precedence-ordered activation: best (lowest) queue precedence
+        # first, class_key tiebreak (activateInactiveQueue :753-786)
+        act_w = Window.orderBy(F.asc("__qprec"), F.asc("class_key"))
+        ready = (
+            ready.withColumn("__arank", F.row_number().over(act_w))
+            .filter(F.col("__arank") <= cfg.max_hosts_per_round)
+            .drop("__arank")
+        )
+    ready_hosts = ready.select("class_key")
     emitted = heads.join(F.broadcast(ready_hosts), on="class_key", how="inner")
 
     # ---- fetch (spec step 2): robots gate + docs join
@@ -296,10 +327,14 @@ def run_round(
         ).alias("expend"),
         (F.lit(now) + delay_expr).cast("long").alias("new_wake"),
         delay_expr.alias("politeness_delay_ms"),
+        F.when(F.col("disposition") == "success", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("succ_inc"),
     )
     updated = (
         host_state.join(
-            host_updates.select("class_key", "expend", "new_wake"),
+            host_updates.select("class_key", "expend", "new_wake", "succ_inc"),
             on="class_key",
             how="left",
         )
@@ -308,6 +343,9 @@ def run_round(
             F.coalesce(F.col("new_wake"), F.col("wake_time")).alias("wake_time"),
             (F.col("total_expenditure") + F.coalesce(F.col("expend"), F.lit(0))).alias(
                 "total_expenditure"
+            ),
+            (F.col("succeeded") + F.coalesce(F.col("succ_inc"), F.lit(0))).alias(
+                "succeeded"
             ),
             F.col("retired"),
         )
@@ -328,6 +366,7 @@ def run_round(
             "class_key",
             F.lit(0).cast("long").alias("wake_time"),
             F.lit(0).cast("long").alias("total_expenditure"),
+            F.lit(0).cast("long").alias("succeeded"),
             F.lit(False).alias("retired"),
         )
     )

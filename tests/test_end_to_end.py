@@ -89,3 +89,47 @@ def test_engine_matches_oracle_with_retries(spark, fixture_small, tmp_path):
     for g, e in zip(got_log, exp_log):
         assert g == e, f"fetch_log row mismatch:\n engine {g}\n oracle {e}"
     assert {r["canon_url"] for r in result.url_seen().collect()} == sim.url_seen
+
+
+def test_engine_matches_oracle_bounded_activation(spark, fixture_small, tmp_path):
+    """Queue-precedence-ordered bounded activation (max 2 hosts/round,
+    highest_uri policy) must match the oracle exactly."""
+    fx, paths = fixture_small
+    cfg = PolitenessConfig(
+        queue_precedence_policy="highest_uri", max_hosts_per_round=2
+    )
+    sim = simulate(fx.doc_map(), fx.seeds, fx.robots_map(), cfg)
+    sim_unbounded = simulate(fx.doc_map(), fx.seeds, fx.robots_map(), PolitenessConfig())
+    assert sim.rounds > sim_unbounded.rounds  # throttling is observable
+
+    docs = spark.read.parquet(paths["docs"])
+    seeds = spark.read.parquet(paths["seeds"])
+    robots = spark.read.parquet(paths["robots"])
+    result = crawl(spark, str(tmp_path / "store_bounded"), docs, seeds, robots, cfg)
+
+    got_log = [
+        r.asDict()
+        for r in result.fetch_log().orderBy("round", "class_key", "ordinal").collect()
+    ]
+    exp_log = sorted(
+        sim.fetch_log, key=lambda r: (r["round"], r["class_key"], r["ordinal"])
+    )
+    assert len(got_log) == len(exp_log)
+    for g, e in zip(got_log, exp_log):
+        assert g == e, f"fetch_log row mismatch:\n engine {g}\n oracle {e}"
+
+
+def test_precedence_floor_blocks_everything(spark, fixture_small, tmp_path):
+    """highest_uri precedence = base(3) + uri precedence(1) = 4; a floor
+    of 4 makes every queue ineligible → crawl ends after seeding."""
+    fx, paths = fixture_small
+    cfg = PolitenessConfig(queue_precedence_policy="highest_uri", precedence_floor=4)
+    sim = simulate(fx.doc_map(), fx.seeds, fx.robots_map(), cfg)
+    assert len(sim.fetch_log) == 0
+
+    docs = spark.read.parquet(paths["docs"])
+    seeds = spark.read.parquet(paths["seeds"])
+    robots = spark.read.parquet(paths["robots"])
+    result = crawl(spark, str(tmp_path / "store_floor"), docs, seeds, robots, cfg)
+    assert result.rounds == 0
+    assert result.fetch_log().count() == 0

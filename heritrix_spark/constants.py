@@ -107,6 +107,13 @@ class PolitenessConfig:
     # :753-786); -1 = unlimited (default: rounds emit from every ready
     # host, equivalent to unbounded toe threads).
     max_hosts_per_round: int = -1
+    # Future rescheduling (futureUris analog, WorkQueueFrontier.checkFutures
+    # :731-748 + ReschedulingProcessor.java:35-47): when
+    # recrawl_interval_ms >= 0, successfully fetched SEED URIs are
+    # rescheduled reschedule_time = now + interval, up to max_recrawls
+    # times, with attempts reset (CrawlURI.resetForRescheduling :1816).
+    recrawl_interval_ms: int = -1
+    max_recrawls: int = 1
     # Test knob: when true, ~1/7 of existing docs (md5-selected) fail
     # their first fetch attempt with S_CONNECT_FAILED and succeed on
     # retry — exercises needsReenqueuing/retryDelay semantics

@@ -123,3 +123,32 @@ def child_hops_path(parent_hops_path, hop_char):
     from heritrix_spark.functions.hops import extend_hops_path_col
 
     return extend_hops_path_col(parent_hops_path, hop_char)
+
+
+def implied_uris(
+    links, pattern: str = r"^(https?://[^?]+/)[^/?]+\.(?:jpg|png|gif)$",
+    template: str = "$1",
+) -> "DataFrame":
+    """ExtractorImpliedURI analog (modules/.../extractor/ExtractorImpliedURI.java):
+    infer additional URIs from patterns *inside* discovered URIs — e.g.
+    the directory of an image, a thumbnail's full-size variant — emitted
+    with hop char 'I' (Hop.INFERRED). Pattern/template are operator
+    supplied, Java-regex replacement syntax.
+
+    Input: links(target, ...) from :func:`extract_outlinks`; output has
+    the same shape with hop_char='I', link_seq bumped past the parent's
+    real links (inferred URIs sort after the link they derive from,
+    matching the reference's add-after behavior).
+    """
+    inferred = (
+        links.withColumn("__implied", F.regexp_replace(F.col("target"), pattern, template))
+        .filter(
+            (F.col("__implied") != F.col("target"))
+            & F.col("target").rlike(pattern)
+        )
+        .withColumn("target", F.col("__implied"))
+        .withColumn("hop_char", F.lit("I"))
+        .withColumn("link_seq", F.col("link_seq") + F.lit(1 << 19))
+        .drop("__implied")
+    )
+    return inferred

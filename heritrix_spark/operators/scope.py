@@ -143,3 +143,16 @@ def default_scope(
         Rule("scheme", scheme_not_in_set_predicate(url), False),
     ]
     return apply_rules(rules, start=False)
+
+
+def hop_crosses_assignment_domain_predicate(url: Column, via: Column) -> Column:
+    """HopCrossesAssignmentLevelDomainDecideRule: the hop leaves the
+    via's registered domain (PSL-reduced SURT authority differs).
+    Typically used with decision=REJECT to confine a crawl to the seed
+    domains even across subdomains."""
+    from heritrix_spark.functions.psl import assignment_level_class_key_col
+
+    return via.isNotNull() & (
+        assignment_level_class_key_col(url)
+        != assignment_level_class_key_col(via)
+    )

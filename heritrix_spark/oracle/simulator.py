@@ -137,6 +137,7 @@ class PendingUri:
     hops_path: str
     via: str | None
     attempts: int = 0
+    recrawls: int = 0
 
 
 @dataclass
@@ -255,6 +256,7 @@ def simulate(
             cfg.success_increments,
         )
 
+    futures: list[tuple[int, PendingUri]] = []  # (reschedule_time, uri)
     now = 0
     for round_no in range(1, max_rounds + 1):
         eligible = [
@@ -262,9 +264,25 @@ def simulate(
             for ck, q in queues.items()
             if q and not hosts[ck].retired and qprec(ck) < cfg.precedence_floor
         ]
-        if not eligible:
+        if not eligible and not futures:
             break
-        now = max(now, min(hosts[ck].wake_time for ck in eligible))
+        events = []
+        if eligible:
+            events.append(min(hosts[ck].wake_time for ck in eligible))
+        if futures:
+            events.append(min(t for t, _ in futures))
+        now = max(now, min(events))
+        # re-inject due futures (checkFutures :731-748)
+        due = [(t, u) for t, u in futures if t <= now]
+        if due:
+            futures = [(t, u) for t, u in futures if t > now]
+            for _, u in due:
+                queues.setdefault(u.class_key, []).append(u)
+            eligible = [
+                ck
+                for ck, q in queues.items()
+                if q and not hosts[ck].retired and qprec(ck) < cfg.precedence_floor
+            ]
         ready = [ck for ck in eligible if hosts[ck].wake_time <= now]
         if cfg.max_hosts_per_round > 0:
             ready = sorted(ready, key=lambda ck: (qprec(ck), ck))[
@@ -351,6 +369,16 @@ def simulate(
                 # (processFinish unpeek/update path :906-940)
                 uri.attempts += 1
                 q.append(uri)
+            elif (
+                cfg.recrawl_interval_ms >= 0
+                and disposition == "success"
+                and uri.hops_path == ""
+                and uri.recrawls < cfg.max_recrawls
+            ):
+                # spec step 7: recrawl successful seeds via futureUris
+                uri.attempts = 0  # resetForRescheduling :1816
+                uri.recrawls += 1
+                futures.append((now + cfg.recrawl_interval_ms, uri))
 
             res.fetch_log.append(
                 {

@@ -96,6 +96,7 @@ def crawl(
                         "retried": 0,
                         "novel_scheduled": max_ordinal,
                         "max_ordinal": max_ordinal,
+                        "rescheduled": 0,
                     }
                 ]
             ),
@@ -124,6 +125,7 @@ def crawl(
         frontier = store.read("frontier")
         host_state = store.read("host_state")
         url_seen = store.read("url_seen")
+        future_uris = store.read("future_uris")
         result = run_round(
             spark,
             round_no,
@@ -136,12 +138,15 @@ def crawl(
             robots,
             prefixes,
             cfg,
+            future_uris=future_uris,
         )
         if result.done:
             round_no -= 1
             break
         store.write_full(result.frontier, "frontier", round_no)
         store.write_full(result.host_state, "host_state", round_no)
+        if result.future_uris is not None:
+            store.write_full(result.future_uris, "future_uris", round_no)
         store.write_delta(result.url_seen_delta, "url_seen", round_no)
         store.write_delta(result.fetch_log, "fetch_log", round_no)
         store.write_delta(result.lineage, "lineage", round_no)

@@ -68,6 +68,7 @@ FRONTIER_COLUMNS = [
     "hops_path",
     "via",
     "attempts",
+    "recrawls",
 ]
 
 HOST_STATE_SCHEMA = T.StructType(
@@ -92,6 +93,7 @@ class RoundResult:
     fetch_log: DataFrame | None = None
     lineage: DataFrame | None = None
     metrics: dict | None = None
+    future_uris: DataFrame | None = None
 
 
 def schedule_seeds(
@@ -118,6 +120,7 @@ def schedule_seeds(
         F.lit("").alias("hops_path"),
         F.lit(None).cast("string").alias("via"),
         F.lit(0).cast("int").alias("attempts"),
+        F.lit(0).cast("int").alias("recrawls"),
     )
     url_seen = frontier.select(
         "canon_url", shard_col("canon_url", cfg.n_seen_shards).alias("shard")
@@ -144,6 +147,7 @@ def run_round(
     robots: DataFrame,
     seed_surt_prefixes: list[str],
     cfg: PolitenessConfig = PolitenessConfig(),
+    future_uris: DataFrame | None = None,
 ) -> RoundResult:
     # ---- clock + ready-host selection (spec step 1)
     from heritrix_spark.operators.prepare import (
@@ -170,9 +174,48 @@ def run_round(
         F.col("__qprec") < F.lit(cfg.precedence_floor)
     )
     row = eligible.agg(F.min("wake_time").alias("w"), F.count("*").alias("n")).first()
-    if row["n"] == 0:
+    # futures are an event source too (checkFutures :731-748)
+    fut_row = None
+    if future_uris is not None:
+        fut_row = future_uris.agg(
+            F.min("reschedule_time").alias("t"), F.count("*").alias("n")
+        ).first()
+    have_frontier = row["n"] > 0
+    have_futures = fut_row is not None and fut_row["n"] > 0
+    if not have_frontier and not have_futures:
         return RoundResult(done=True, now_ms=now_prev, max_ordinal=max_ordinal)
-    now = max(now_prev, int(row["w"]))
+    events = []
+    if have_frontier:
+        events.append(int(row["w"]))
+    if have_futures:
+        events.append(int(fut_row["t"]))
+    now = max(now_prev, min(events))
+
+    # re-inject due futures (attempts already reset at scheduling time)
+    injected_futures = None
+    futures_next = future_uris
+    if have_futures and int(fut_row["t"]) <= now:
+        injected_futures = future_uris.filter(
+            F.col("reschedule_time") <= F.lit(now)
+        ).select(*FRONTIER_COLUMNS)
+        futures_next = future_uris.filter(F.col("reschedule_time") > F.lit(now))
+        frontier = frontier.unionByName(injected_futures)
+        # recompute eligibility for hosts that only have future rows
+        queue_stats = frontier.groupBy("class_key").agg(
+            F.min("precedence").alias("__min_uri_prec")
+        )
+        eligible = queue_stats.join(
+            host_state.filter(~F.col("retired")), on="class_key", how="inner"
+        )
+        if cfg.queue_precedence_policy == "highest_uri":
+            qprec = highest_uri_queue_precedence_col(F.col("__min_uri_prec"), cfg)
+        elif cfg.queue_precedence_policy == "success_counts":
+            qprec = success_counts_queue_precedence_col(F.col("succeeded"), cfg)
+        else:
+            qprec = base_queue_precedence_col(cfg)
+        eligible = eligible.withColumn("__qprec", qprec.cast("int")).filter(
+            F.col("__qprec") < F.lit(cfg.precedence_floor)
+        )
 
     head_w = Window.partitionBy("class_key").orderBy(
         "directive", "precedence", "ordinal"
@@ -294,6 +337,7 @@ def run_round(
         "hops_path",
         F.col("via"),
         F.lit(0).cast("int").alias("attempts"),
+        F.lit(0).cast("int").alias("recrawls"),
     )
 
     # ---- frontier update: drop emitted, re-enqueue retries, add novel
@@ -309,6 +353,36 @@ def run_round(
         .unionByName(retries)
         .unionByName(novel_frontier)
     )
+
+    # ---- future rescheduling (spec step 7: recrawl successful seeds)
+    n_rescheduled = 0
+    if cfg.recrawl_interval_ms >= 0:
+        to_future = fetched.filter(
+            (F.col("disposition") == "success")
+            & (F.col("hops_path") == "")
+            & (F.col("recrawls") < cfg.max_recrawls)
+        ).select(
+            "url",
+            "canon_url",
+            "class_key",
+            "directive",
+            "precedence",
+            "ordinal",
+            "cost",
+            "hops_path",
+            "via",
+            F.lit(0).cast("int").alias("attempts"),  # resetForRescheduling :1816
+            (F.col("recrawls") + 1).cast("int").alias("recrawls"),
+            (F.lit(now) + F.lit(cfg.recrawl_interval_ms)).cast("long").alias(
+                "reschedule_time"
+            ),
+        )
+        to_future = to_future.persist()
+        n_rescheduled = to_future.count()
+        if futures_next is not None:
+            futures_next = futures_next.unionByName(to_future)
+        else:
+            futures_next = to_future
 
     # ---- host/budget update (spec step 6)
     delay_expr = (
@@ -447,6 +521,7 @@ def run_round(
         "retried": int(by_dispo.get("retry", 0)),
         "novel_scheduled": int(n_novel),
         "max_ordinal": int(new_max_ordinal),
+        "rescheduled": int(n_rescheduled),
     }
     return RoundResult(
         done=False,
@@ -458,4 +533,5 @@ def run_round(
         fetch_log=fetch_log,
         lineage=lineage,
         metrics=metrics,
+        future_uris=futures_next,
     )

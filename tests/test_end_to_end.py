@@ -133,3 +133,32 @@ def test_precedence_floor_blocks_everything(spark, fixture_small, tmp_path):
     result = crawl(spark, str(tmp_path / "store_floor"), docs, seeds, robots, cfg)
     assert result.rounds == 0
     assert result.fetch_log().count() == 0
+
+
+def test_engine_matches_oracle_with_recrawl(spark, fixture_small, tmp_path):
+    """futureUris analog: successful seeds reschedule once (1h later,
+    attempts reset, same ordinal) and the whole timeline must match."""
+    fx, paths = fixture_small
+    cfg = PolitenessConfig(recrawl_interval_ms=3_600_000, max_recrawls=1)
+    sim = simulate(fx.doc_map(), fx.seeds, fx.robots_map(), cfg)
+    seeds_twice = [r for r in sim.fetch_log if r["hops_path"] == ""]
+    assert len(seeds_twice) > len(fx.seeds)  # recrawls happened
+
+    docs = spark.read.parquet(paths["docs"])
+    seeds = spark.read.parquet(paths["seeds"])
+    robots = spark.read.parquet(paths["robots"])
+    result = crawl(spark, str(tmp_path / "store_recrawl"), docs, seeds, robots, cfg)
+
+    got_log = [
+        r.asDict()
+        for r in result.fetch_log()
+        .orderBy("round", "class_key", "ordinal", "now_ms")
+        .collect()
+    ]
+    exp_log = sorted(
+        sim.fetch_log,
+        key=lambda r: (r["round"], r["class_key"], r["ordinal"], r["now_ms"]),
+    )
+    assert len(got_log) == len(exp_log)
+    for g, e in zip(got_log, exp_log):
+        assert g == e, f"fetch_log row mismatch:\n engine {g}\n oracle {e}"

@@ -61,6 +61,7 @@ def main() -> None:
         dt = time.monotonic() - t0
         queries[name] = round(dt, 3)
         total += dt
+        print(f"bench: {name} {dt:.1f}s", file=sys.stderr, flush=True)
 
     out = {
         "metric": "frontier-round throughput (URLs scheduled+deduped/sec) "

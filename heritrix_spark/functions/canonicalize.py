@@ -50,6 +50,12 @@ class StripRule:
     name: str
     pattern: str  # anchored; groups 1(+2) are kept
     groups: int  # 1 or 2
+    # Cheap necessary conditions for the pattern to match (evaluated on the
+    # already-lowercased string). The Column backend only runs the regex
+    # engine when they hold — pure pruning, never a semantic change: every
+    # guard substring literally appears in any string the pattern accepts.
+    guard_contains: str | None = None
+    guard_endswith: str | None = None
 
 
 # NOTE: rules run after LowercaseRule, but keep (?i) + full char classes so
@@ -60,48 +66,119 @@ CANON_RULES: tuple[StripRule, ...] = (
         "strip_userinfo",
         r"(?i)^((?:(?:https?)|(?:ftps?))://)(?:[^/]+@)(.*)$",
         2,
+        guard_contains="@",
     ),
     StripRule(
         "strip_wwwn",
         r"(?i)^(https?://)(?:www[0-9]*\.)([^/]*/.+)$",
         2,
+        guard_contains="://www",
     ),
     StripRule(
         "strip_sess_base",
         r"(?i)^(.+)(?:(?:jsessionid)|(?:phpsessid))=[0-9a-zA-Z]{32}(?:&(.*))?$",
         2,
+        guard_contains="sess",
     ),
     StripRule(
         "strip_sess_sid",
         r"(?i)^(.+)sid=[0-9a-zA-Z]{32}(?:&(.*))?$",
         2,
+        guard_contains="sid=",
     ),
     StripRule(
         "strip_aspsession",
         r"(?i)^(.+)aspsessionid[a-zA-Z]{8}=[a-zA-Z]{24}(?:&(.*))?$",
         2,
+        guard_contains="aspsessionid",
     ),
     StripRule(
         "strip_cfids",
         r"(?i)^(.+)(?:cfid=[^&]+&cftoken=[^&]+(?:jsession=[^&]+)?)(?:&(.*))?$",
         2,
+        guard_contains="cfid=",
     ),
     # FixupQueryString as four mutually-exclusive patterns (see module doc).
-    StripRule("fixup_qmark_amp_end", r"^(.+)\?&$", 1),
-    StripRule("fixup_qmark_end", r"^(.+)\?$", 1),
-    StripRule("fixup_redundant_amp", r"^(.+\?)&(.+)$", 2),
-    StripRule("fixup_trailing_amp", r"^(.+\?[^&].*)&$", 1),
+    StripRule("fixup_qmark_amp_end", r"^(.+)\?&$", 1, guard_endswith="?&"),
+    StripRule("fixup_qmark_end", r"^(.+)\?$", 1, guard_endswith="?"),
+    StripRule("fixup_redundant_amp", r"^(.+\?)&(.+)$", 2, guard_contains="?&"),
+    StripRule("fixup_trailing_amp", r"^(.+\?[^&].*)&$", 1, guard_endswith="&"),
 )
 
 
-def canonicalize_col(url: Column | str) -> Column:
-    """canon_url as a pure Catalyst expression (lowercase + rule chain)."""
+def canonicalize_expr_col(url: Column | str) -> Column:
+    """canon_url as a pure Catalyst expression (lowercase + rule chain).
+
+    Ten chained java.util.regex replaces — correct but regex-bound (each
+    ``regexp_replace`` pays a full backtracking scan per row, ~10x the
+    cost of the Arrow/RE2 path below). Guard-gating each rule with
+    ``when(contains(...))`` is NOT viable here: the otherwise-branch
+    re-references the previous step three times per rule, which makes
+    the expression tree grow 3^10 and stalls Catalyst planning for
+    minutes. Kept as the no-Python fallback and for plan inspection.
+    """
     col = F.col(url) if isinstance(url, str) else url
     out = F.lower(col)
     for rule in CANON_RULES:
         repl = "$1$2" if rule.groups == 2 else "$1"
         out = F.regexp_replace(out, rule.pattern, repl)
     return out
+
+
+def _canonicalize_arrow(arr):
+    """The rule chain on a pyarrow StringArray — all vectorized C++:
+    utf8_lower + RE2 ``replace_substring_regex`` (linear-time, no
+    backtracking; anchored patterns match at most once). Guard
+    substrings skip a rule for the whole batch when no row can match.
+    """
+    import pyarrow.compute as pc
+
+    out = pc.utf8_lower(arr)
+    for rule in CANON_RULES:
+        if rule.guard_contains is not None:
+            mask = pc.match_substring(out, rule.guard_contains)
+            if not pc.any(mask).as_py():
+                continue
+        elif rule.guard_endswith is not None:
+            mask = pc.ends_with(out, pattern=rule.guard_endswith)
+            if not pc.any(mask).as_py():
+                continue
+        repl = r"\1\2" if rule.groups == 2 else r"\1"
+        out = pc.replace_substring_regex(
+            out, pattern=rule.pattern, replacement=repl
+        )
+    return out
+
+
+_CANON_UDF = None
+
+
+def canonicalize_col(url: Column | str) -> Column:
+    """canon_url — vectorized Arrow UDF (the hot-path default).
+
+    The north-star contract is explicit: URLs are canonicalized in
+    vectorized pandas/Arrow UDFs with no per-row Python. Batches cross
+    to the Python worker once as Arrow buffers; the entire rule chain
+    runs in pyarrow.compute (RE2), so per-row work never touches the
+    Python interpreter. Patterns live in the same CANON_RULES table as
+    the Catalyst/Python/DuckDB backends (Java ∩ RE2 ∩ Python subset),
+    so all four backends agree — pinned by tests/test_canonicalize.py.
+    """
+    global _CANON_UDF
+    if _CANON_UDF is None:
+        import pandas as pd
+        import pyarrow as pa
+        from pyspark.sql.functions import pandas_udf
+
+        def _canon(s: pd.Series) -> pd.Series:
+            return _canonicalize_arrow(
+                pa.Array.from_pandas(s, type=pa.string())
+            ).to_pandas()
+
+        _canon.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        _CANON_UDF = pandas_udf(_canon, "string")
+    col = F.col(url) if isinstance(url, str) else url
+    return _CANON_UDF(col)
 
 
 _PY_COMPILED = [(re.compile(r.pattern), r.groups) for r in CANON_RULES]

@@ -527,17 +527,25 @@ _DUCK_SHINGLES = r"""
 
 
 def _duck_mh(seed: int) -> str:
+    # twin of pipeline.dedup.minhash_col: affine permutation of the
+    # single md5_60 base hash, exact signed-64 arithmetic (< 2^62)
+    from heritrix_spark.pipeline.dedup import MINHASH_P, _mix_a, _mix_b
+
     return (
-        "list_aggregate(list_transform(sh, s -> "
-        f"('0x' || substr(md5('{seed}|' || s), 1, 15))::BIGINT), 'min')"
+        "list_aggregate(list_transform(hsh, h -> "
+        f"((h & 2147483647) * {_mix_a(seed)} + {_mix_b(seed)}) % {MINHASH_P}"
+        "), 'min')"
     )
 
 
 _DUCK_MINHASH_PAIRS = f"""
     with sh as ({_DUCK_SHINGLES}),
+    hsh_t as (select doc_id,
+      list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) as hsh
+      from sh),
     sig as (select doc_id,
       {", ".join(f"{_duck_mh(i)} as mh{i}" for i in range(8))}
-      from sh),
+      from hsh_t),
     bands as (
       select doc_id, 0 as band, mh0::varchar || ',' || mh1::varchar as band_sig from sig
       union all

@@ -64,18 +64,47 @@ def shingles_col(text: Column, k: int = 5) -> Column:
     )
 
 
-def minhash_col(shingles: Column, seed: int) -> Column:
-    """min over shingles of md5_60(seed || shingle) — one permutation."""
-    hashed = F.transform(
-        shingles, lambda s: F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)), 1, 15), 16, 10
-        ).cast("long")
+# Universal-hash family for minhash permutations: one expensive base
+# hash per shingle, then h_i(s) = (a_i * (h0(s) & 2^31-1) + b_i) mod P.
+# a_i*h31 < 2^62 so the arithmetic is exact in any signed-64 engine —
+# Spark and DuckDB produce identical values (no overflow wrap).
+MINHASH_P = 2305843009213693951  # 2^61 - 1
+_MASK31 = 2147483647
+
+
+def _mix_a(seed: int) -> int:
+    return 1000003 * (seed + 1) + 7
+
+
+def _mix_b(seed: int) -> int:
+    return (777767777 * (seed + 1)) % MINHASH_P
+
+
+def hashed_shingles_col(shingles: Column) -> Column:
+    """md5_60 of every shingle — the single expensive pass. Callers
+    materialize this as its own projection so the n_hashes permutation
+    passes below reuse it (higher-order functions are interpreted; an
+    unmaterialized reference would re-run the md5 walk per permutation)."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
     )
-    return F.array_min(hashed)
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 8) -> Column:
-    return F.array(*[minhash_col(shingles, i) for i in range(n_hashes)])
+def minhash_col(hashed: Column, seed: int) -> Column:
+    """min over pre-hashed shingles of the seed-th affine permutation."""
+    a, b = _mix_a(seed), _mix_b(seed)
+    return F.array_min(
+        F.transform(
+            hashed,
+            lambda h: (h.bitwiseAND(F.lit(_MASK31)) * F.lit(a) + F.lit(b))
+            % F.lit(MINHASH_P),
+        )
+    )
+
+
+def minhash_signature(hashed: Column, n_hashes: int = 8) -> Column:
+    return F.array(*[minhash_col(hashed, i) for i in range(n_hashes)])
 
 
 def minhash_lsh_dedup(
@@ -95,8 +124,17 @@ def minhash_lsh_dedup(
     Returns distinct (a_id, b_id) candidate pairs.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(shingles_col(F.col(text_col), shingle_k), n_hashes)
-    with_sig = docs.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    spark_parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    # small-file inputs arrive as 1-2 partitions; the shingle+hash walk
+    # is the CPU hot spot, so spread it before doing any of it
+    docs = docs.repartition(spark_parallelism)
+    with_hsh = docs.select(
+        F.col(id_col).alias("doc"),
+        hashed_shingles_col(shingles_col(F.col(text_col), shingle_k)).alias("__hsh"),
+    )
+    with_sig = with_hsh.select(
+        "doc", minhash_signature(F.col("__hsh"), n_hashes).alias("sig")
+    )
     banded = with_sig.select(
         "doc",
         F.posexplode(
@@ -127,19 +165,20 @@ def minhash_lsh_dedup(
     return pairs
 
 
-def simhash_col(text: Column, bits: int = 16) -> Column:
-    """SimHash over whitespace tokens (bit-majority of token hashes).
-
-    ``bits`` defaults to 16 (not 64) so the per-bit majority vote stays
-    a compact higher-order expression; the token hash is md5_60-based so
-    a DuckDB twin exists. For each bit i: sign(sum over tokens of
-    (bit_i(hash(t)) ? 1 : -1)) → bit i of the fingerprint.
-    """
+def token_hashes_col(text: Column) -> Column:
+    """md5_60 of each whitespace token — materialize as its own
+    projection before :func:`simhash_from_hashes_col` so the md5 walk
+    runs once, not once per bit."""
     tokens = F.split(F.lower(text), r"\s+")
-    hashes = F.transform(
+    return F.transform(
         tokens,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
+
+
+def simhash_from_hashes_col(hashes: Column, bits: int = 16) -> Column:
+    """SimHash bit-majority from pre-hashed tokens. For each bit i:
+    sign(sum over tokens of (bit_i(hash) ? 1 : -1)) → bit i."""
     bit_votes = [
         F.aggregate(
             hashes,
@@ -155,12 +194,29 @@ def simhash_col(text: Column, bits: int = 16) -> Column:
     return out
 
 
+def simhash_col(text: Column, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens (bit-majority of token hashes).
+
+    ``bits`` defaults to 16 (not 64) so the per-bit majority vote stays
+    a compact higher-order expression; the token hash is md5_60-based so
+    a DuckDB twin exists. Single-projection convenience form — prefer
+    token_hashes_col + simhash_from_hashes_col in pipelines (one md5
+    pass instead of ``bits``)."""
+    return simhash_from_hashes_col(token_hashes_col(text), bits)
+
+
 def simhash_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:
     """Group documents by identical simhash → near-dup clusters."""
+    spark_parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    hashed = docs.repartition(spark_parallelism).select(
+        F.col(id_col), token_hashes_col(F.col(text_col)).alias("__th")
+    )
     return (
-        docs.select(F.col(id_col), simhash_col(F.col(text_col), bits).alias("simhash"))
+        hashed.select(
+            F.col(id_col), simhash_from_hashes_col(F.col("__th"), bits).alias("simhash")
+        )
         .groupBy("simhash")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").cast("long").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
@@ -181,7 +237,7 @@ def ngram_jaccard_pairs(
     pairs ≪ corpus; shuffle joins otherwise) and computes
     |A∩B| / |A∪B| with native array ops.
     """
-    sh = docs.select(
+    sh = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("__id"),
         shingles_col(F.col(text_col), k).alias("__sh"),
     )

@@ -173,13 +173,19 @@ def run_round(
     eligible = eligible.withColumn("__qprec", qprec.cast("int")).filter(
         F.col("__qprec") < F.lit(cfg.precedence_floor)
     )
-    row = eligible.agg(F.min("wake_time").alias("w"), F.count("*").alias("n")).first()
-    # futures are an event source too (checkFutures :731-748)
-    fut_row = None
+    # one driver action probes both event sources (frontier wake times
+    # and futures, checkFutures :731-748): cross-join of two single-row
+    # aggregates — halves the per-round fixed job overhead
+    agg_e = eligible.agg(F.min("wake_time").alias("w"), F.count("*").alias("n"))
     if future_uris is not None:
-        fut_row = future_uris.agg(
-            F.min("reschedule_time").alias("t"), F.count("*").alias("n")
-        ).first()
+        agg_f = future_uris.agg(
+            F.min("reschedule_time").alias("t"), F.count("*").alias("nf")
+        )
+        row = agg_e.crossJoin(agg_f).first()
+        fut_row = {"t": row["t"], "n": row["nf"]}
+    else:
+        row = agg_e.first()
+        fut_row = None
     have_frontier = row["n"] > 0
     have_futures = fut_row is not None and fut_row["n"] > 0
     if not have_frontier and not have_futures:
@@ -355,13 +361,13 @@ def run_round(
     )
 
     # ---- future rescheduling (spec step 7: recrawl successful seeds)
-    n_rescheduled = 0
+    reschedulable = (
+        (F.col("disposition") == "success")
+        & (F.col("hops_path") == "")
+        & (F.col("recrawls") < cfg.max_recrawls)
+    )
     if cfg.recrawl_interval_ms >= 0:
-        to_future = fetched.filter(
-            (F.col("disposition") == "success")
-            & (F.col("hops_path") == "")
-            & (F.col("recrawls") < cfg.max_recrawls)
-        ).select(
+        to_future = fetched.filter(reschedulable).select(
             "url",
             "canon_url",
             "class_key",
@@ -377,8 +383,6 @@ def run_round(
                 "reschedule_time"
             ),
         )
-        to_future = to_future.persist()
-        n_rescheduled = to_future.count()
         if futures_next is not None:
             futures_next = futures_next.unionByName(to_future)
         else:
@@ -507,21 +511,30 @@ def run_round(
         )
     )
 
-    counts = (
-        fetched.groupBy("disposition").count().collect()
-    )
-    by_dispo = {r["disposition"]: r["count"] for r in counts}
+    def _n(d: str):
+        return F.sum((F.col("disposition") == d).cast("long"))
+
+    mrow = fetched.agg(
+        F.count("*").alias("emitted"),
+        _n("success").alias("succeeded"),
+        _n("failure").alias("failed"),
+        _n("disregard").alias("disregarded"),
+        _n("retry").alias("retried"),
+        F.sum(reschedulable.cast("long")).alias("rescheduled"),
+    ).first()
     metrics = {
         "round": round_no,
         "now_ms": now,
-        "emitted": int(sum(by_dispo.values())),
-        "succeeded": int(by_dispo.get("success", 0)),
-        "failed": int(by_dispo.get("failure", 0)),
-        "disregarded": int(by_dispo.get("disregard", 0)),
-        "retried": int(by_dispo.get("retry", 0)),
+        "emitted": int(mrow["emitted"] or 0),
+        "succeeded": int(mrow["succeeded"] or 0),
+        "failed": int(mrow["failed"] or 0),
+        "disregarded": int(mrow["disregarded"] or 0),
+        "retried": int(mrow["retried"] or 0),
         "novel_scheduled": int(n_novel),
         "max_ordinal": int(new_max_ordinal),
-        "rescheduled": int(n_rescheduled),
+        "rescheduled": int(mrow["rescheduled"] or 0)
+        if cfg.recrawl_interval_ms >= 0
+        else 0,
     }
     return RoundResult(
         done=False,

@@ -994,3 +994,210 @@ def _uuri_fixup_oracle() -> str:
 
 
 ORACLE_SQL["uuri_fixup"] = _uuri_fixup_oracle()
+
+
+# -------------------------------------------------- 25. assignment-level queue keys
+
+def _assignment_oracle() -> str:
+    from heritrix_spark.functions.psl import reduce_surt_sql
+
+    ck = class_key_sql(canonicalize_sql("url"))
+    return f"""
+    with u as ({_DUCK_URLS}),
+    k as (select {reduce_surt_sql(ck)} as assign_key from u)
+    select assign_key, cast(count(*) as bigint) as n
+    from k group by assign_key order by assign_key
+    """
+
+
+@register("assignment_level_key", _assignment_oracle())
+def q_assignment_level_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AssignmentLevelSurtQueueAssignmentPolicy + PublicSuffixes.reduce
+    (heritrix3/engine/.../AssignmentLevelSurtQueueAssignmentPolicy.java:30-40,
+    commons/.../net/PublicSuffixes.java:291-299): queue keys reduced to
+    registered-domain level."""
+    from heritrix_spark.functions.psl import reduce_surt_authority_col
+
+    u = _docs_urls(spark, sf_dir).select(
+        reduce_surt_authority_col(class_key_col(canonicalize_col("url"))).alias(
+            "assign_key"
+        )
+    )
+    return (
+        u.groupBy("assign_key")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("assign_key")
+    )
+
+
+# -------------------------------------------------- 26. tri-level substats tally
+
+_DISPO_SQL = """
+    case when fetch_status > 0 then 'success'
+         when fetch_status in (-9998, -5002, -5000, -5001, -4002, -4001, -6000)
+           then 'disregard'
+         when fetch_status in (-50, -2, -3, -1) and attempts < 30 then 'retry'
+         else 'failure' end
+""".strip()
+
+
+def _substats_oracle() -> str:
+    from heritrix_spark.functions.psl import reduce_surt_sql
+
+    ck = class_key_sql(canonicalize_sql("url"))
+    hostkey = "regexp_replace(key, '#[0-9]+$', '')"
+    return f"""
+    with u as ({_DUCK_URLS}),
+    d as (select {ck} as key, {_DISPO_SQL} as disposition from u),
+    lev as (
+      select 'server' as level, key, disposition from d
+      union all
+      select 'host', {hostkey}, disposition from d
+      union all
+      select 'group', {reduce_surt_sql(hostkey)}, disposition from d
+    )
+    select level, key,
+      cast(count(*) as bigint) as emitted,
+      cast(sum(case when disposition = 'success' then 1 else 0 end) as bigint)
+        as fetch_successes,
+      cast(sum(case when disposition = 'failure' then 1 else 0 end) as bigint)
+        as fetch_failures,
+      cast(sum(case when disposition = 'disregard' then 1 else 0 end) as bigint)
+        as fetch_disregards,
+      cast(sum(case when disposition = 'retry' then 1 else 0 end) as bigint)
+        as fetch_retries
+    from lev group by level, key order by level, key
+    """
+
+
+@register("substats_tally", _substats_oracle())
+def q_substats_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-level FetchStats tally (AbstractFrontier.tally :615-630):
+    server / host / frontier-group rollup, one shuffle via membership
+    explode (operators/reports.py substats_tally)."""
+    from heritrix_spark.operators.budget import disposition_col
+    from heritrix_spark.operators.reports import substats_tally
+
+    log = _docs_urls(spark, sf_dir).select(
+        class_key_col(canonicalize_col("url")).alias("class_key"),
+        disposition_col(F.col("fetch_status"), F.col("attempts")).alias("disposition"),
+    )
+    return substats_tally(log)
+
+
+# -------------------------------------------------- 27. cost assignment policies
+
+@register(
+    "cost_policies",
+    f"""
+    with u as ({_DUCK_URLS}),
+    c as (select doc_id, {canonicalize_sql('url')} as canon_url from u)
+    select cast(doc_id as bigint) as doc_id,
+      cast(1 + case when contains(canon_url, '?') then 1 else 0 end as int)
+        as wag_cost,
+      cast(1 + case when regexp_matches(canon_url,
+        '(?i)(calendar)|(\\bdate\\b)|(\\byear\\b)|(\\bmonth\\b)|(\\bday\\b)')
+        then 1 else 0 end as int) as anti_calendar_cost,
+      cast(1 as int) as unit_cost
+    from c order by doc_id
+    """,
+)
+def q_cost_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost assignment policies (WagCostAssignmentPolicy.java:41-64,
+    AntiCalendarCostAssignmentPolicy.java:41-58, UnitCost default)."""
+    from heritrix_spark.operators.prepare import (
+        anti_calendar_cost_col,
+        unit_cost_col,
+        wag_cost_col,
+    )
+
+    u = _docs_urls(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        canonicalize_col("url").alias("canon_url"),
+    )
+    return u.select(
+        "doc_id",
+        wag_cost_col(F.col("canon_url")).cast("int").alias("wag_cost"),
+        anti_calendar_cost_col(F.col("canon_url")).cast("int").alias(
+            "anti_calendar_cost"
+        ),
+        unit_cost_col().cast("int").alias("unit_cost"),
+    ).orderBy("doc_id")
+
+
+# -------------------------------------------------- 28. implied URIs ('I' hops)
+
+_IMG_URL = (
+    "'http://host' || cast(doc_id % 40 as string) || '.example/dir'"
+    " || cast(doc_id % 5 as string) || '/pic' || cast(doc_id % 17 as string)"
+    " || '.jpg'"
+)
+
+_IMPLIED_PATTERN = r"^(https?://[^?]+/)[^/?]+\.(?:jpg|png|gif)$"
+
+
+@register(
+    "implied_uris",
+    f"""
+    with links as (select {_IMG_URL} as target from documents)
+    select distinct regexp_replace(target, '{_IMPLIED_PATTERN}', '\\1') as implied,
+      'I' as hop_char
+    from links
+    where regexp_matches(target, '{_IMPLIED_PATTERN}')
+    order by implied
+    """,
+)
+def q_implied_uris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractorImpliedURI analog (modules/.../extractor/ExtractorImpliedURI.java):
+    infer the containing directory of image URLs, hop char 'I'."""
+    from heritrix_spark.operators.extract import implied_uris
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    links = spark.sql(f"select {_IMG_URL} as target from documents").select(
+        "target", F.lit(0).cast("long").alias("link_seq")
+    )
+    inferred = implied_uris(links)
+    return (
+        inferred.select(F.col("target").alias("implied"), "hop_char")
+        .distinct()
+        .orderBy("implied")
+    )
+
+
+# -------------------------------------------------- 29. content digest (Base32)
+
+def _b32_sql(hex_expr: str) -> str:
+    """DuckDB twin of pipeline.dedup.base32_of_hex160_col."""
+    alph = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    parts = []
+    for j in range(4):
+        chunk = f"('0x' || substr({hex_expr}, {j * 10 + 1}, 10))::BIGINT"
+        for k in range(7, -1, -1):
+            parts.append(f"substr('{alph}', cast((({chunk}) >> {5 * k}) & 31 as int) + 1, 1)")
+    return " || ".join(parts)
+
+
+@register(
+    "content_digest",
+    f"""
+    select cast(doc_id as bigint) as doc_id,
+           {_b32_sql("substr(sha256(text), 1, 40)")} as digest_b32
+    from documents order by doc_id
+    """,
+)
+def q_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base32 digest formatting (CrawlURI.java:983-1014 uses SHA1+Base32;
+    the oracle pair uses sha256's first 160 bits because DuckDB lacks
+    sha1 — the Base32 column math under test is identical, and
+    pipeline.dedup.content_digest_col applies it to sha1 in the engine)."""
+    from heritrix_spark.pipeline.dedup import base32_of_hex160_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        base32_of_hex160_col(
+            F.substring(F.sha2(F.col("text"), 256), 1, 40)
+        ).alias("digest_b32"),
+    ).orderBy("doc_id")

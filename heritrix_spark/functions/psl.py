@@ -75,6 +75,26 @@ def reduce_surt_authority_col(surt_auth: Column) -> Column:
     return out
 
 
+def reduce_surt_sql(expr: str) -> str:
+    """DuckDB SQL twin of :func:`reduce_surt_authority_col` (same
+    suffix table, same fallback), for driver-gate oracles."""
+    labels = (
+        f"list_filter(string_split({expr}, ','), x -> x <> '')"
+    )
+    cases = []
+    for suffix in MULTI_LABEL_SUFFIXES:
+        n = suffix.count(",") + 1
+        cases.append(
+            f"when starts_with({expr}, '{suffix}') and len({labels}) >= {n} "
+            f"then array_to_string({labels}[1:{n}], ',') || ','"
+        )
+    cases.append(
+        f"when len({labels}) >= 2 "
+        f"then array_to_string({labels}[1:2], ',') || ','"
+    )
+    return "case " + " ".join(cases) + f" else {expr} end"
+
+
 def assignment_level_class_key_col(url: Column | str) -> Column:
     """AssignmentLevelSurtQueueAssignmentPolicy: queue key = SURT
     authority reduced to public-suffix+1 (':'→'#' like the base policy)."""

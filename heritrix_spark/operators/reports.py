@@ -89,6 +89,50 @@ def crawl_snapshot(metrics: DataFrame) -> DataFrame:
     ).orderBy("round")
 
 
+def substats_tally(fetch_log: DataFrame) -> DataFrame:
+    """Tri-level FetchStats tally (AbstractFrontier.tally :615-630 +
+    FetchStats.java:53-97): outcomes aggregated at the server
+    (class_key incl. #port), host (class_key minus port), and
+    frontier-group (assignment-level domain) levels.
+
+    Single shuffle at 100 TB: each log row explodes into its three
+    (level, key) memberships, then one groupBy — instead of three
+    separate aggregation passes over the log.
+    """
+    from heritrix_spark.functions.psl import reduce_surt_authority_col
+
+    server = F.col("class_key")
+    host = F.regexp_replace(F.col("class_key"), "#[0-9]+$", "")
+    group = reduce_surt_authority_col(host)
+    lk = F.explode(
+        F.array(
+            F.struct(F.lit("server").alias("level"), server.alias("key")),
+            F.struct(F.lit("host").alias("level"), host.alias("key")),
+            F.struct(F.lit("group").alias("level"), group.alias("key")),
+        )
+    ).alias("lk")
+    exploded = fetch_log.select(lk, "disposition")
+    return (
+        exploded.groupBy(F.col("lk.level").alias("level"), F.col("lk.key").alias("key"))
+        .agg(
+            F.count("*").cast("long").alias("emitted"),
+            F.sum(F.when(F.col("disposition") == "success", 1).otherwise(0))
+            .cast("long")
+            .alias("fetch_successes"),
+            F.sum(F.when(F.col("disposition") == "failure", 1).otherwise(0))
+            .cast("long")
+            .alias("fetch_failures"),
+            F.sum(F.when(F.col("disposition") == "disregard", 1).otherwise(0))
+            .cast("long")
+            .alias("fetch_disregards"),
+            F.sum(F.when(F.col("disposition") == "retry", 1).otherwise(0))
+            .cast("long")
+            .alias("fetch_retries"),
+        )
+        .orderBy("level", "key")
+    )
+
+
 def average_queue_depth(frontier: DataFrame) -> DataFrame:
     """averageDepth / deepestUri analog (WorkQueueFrontier :1547-1575)."""
     return frontier.groupBy("class_key").count().agg(

@@ -34,9 +34,31 @@ def md5_60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+BASE32_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+
+def base32_of_hex160_col(hex_col: Column) -> Column:
+    """RFC 3548 Base32 of a 160-bit hex digest (40 hex chars → 32 chars).
+
+    Pure column math, no UDF: four 40-bit chunks (40 hex/4 = 10 chars
+    each, 40 bits = exactly 8 base32 symbols so chunk boundaries align
+    with symbol boundaries), each chunk emitting its 5-bit groups
+    MSB-first through an alphabet lookup.
+    """
+    alphabet = F.array(*[F.lit(c) for c in BASE32_ALPHABET])
+    chars = []
+    for j in range(4):
+        chunk = F.conv(F.substring(hex_col, j * 10 + 1, 10), 16, 10).cast("long")
+        for k in range(7, -1, -1):
+            idx = F.shiftright(chunk, 5 * k).bitwiseAND(F.lit(31))
+            chars.append(F.element_at(alphabet, (idx + 1).cast("int")))
+    return F.concat(*chars)
+
+
 def content_digest_col(text: Column) -> Column:
-    """SHA1 content digest (CrawlURI digest analog)."""
-    return F.sha1(text)
+    """SHA1 content digest, Base32 — the reference's exact format
+    (CrawlURI.setContentDigest + Base32 encoding, CrawlURI.java:983-1014)."""
+    return base32_of_hex160_col(F.sha1(text))
 
 
 def exact_dedup(

@@ -39,6 +39,21 @@ def build_session(
         # partitions, serializing the round pipeline; 8m keeps parallelism
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # String-heavy parquet compresses ~10x, so the default 128m split
+        # packs a small-scale corpus into fewer input partitions than
+        # cores and the scan-side map stage (canonicalize/key UDFs — the
+        # CPU hot spot) can't use the machine: 8m keeps one task per
+        # file at bench scale. At real 100 TB scale there are orders of
+        # magnitude more files than cores, so override this back up via
+        # spark-submit conf (SPARK_GRAFT_MAX_PARTITION_BYTES).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

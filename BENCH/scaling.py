@@ -85,9 +85,24 @@ spark.stop()
 """
 
 
-def run_sub(code: str, args: list[str], timeout: int = 3000) -> str:
+def run_sub(
+    code: str, args: list[str], timeout: int = 3000, cpus: int | None = None
+) -> str:
+    """Run a python job, optionally CPU-affinity-bound to ``cpus`` cores.
+
+    Pinning matters for honest scaling numbers: pandas/Arrow UDF worker
+    processes are NOT bounded by local[N] (each task adds Python
+    workers), so an unpinned local[8] run already saturates the whole
+    machine and the 8-vs-32 comparison measures nothing. On a real
+    cluster executors are cgroup-bound; ``taskset`` is the single-box
+    equivalent, confining the JVM + all its Python workers to the
+    config's core budget.
+    """
+    cmd = [sys.executable, "-c", code, *args]
+    if cpus is not None:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
     out = subprocess.run(
-        [sys.executable, "-c", code, *args],
+        cmd,
         capture_output=True,
         text=True,
         timeout=timeout,
@@ -114,7 +129,9 @@ def main() -> None:
     for _ in range(outer):
         for cores in (lo, hi):
             out = run_sub(
-                RUNNER.format(repo=repo), [str(cores), str(n), data, str(inner)]
+                RUNNER.format(repo=repo),
+                [str(cores), str(n), data, str(inner)],
+                cpus=cores,
             )
             r = None
             for line in out.splitlines():

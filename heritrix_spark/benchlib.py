@@ -85,18 +85,22 @@ def schedule_dedup_pipeline(
     """The measured job: prepare → collapse dups → anti-join seen →
     deterministic ordinals. Identical operator chain to plans/round.py
     steps 4-5 (scope omitted: the synthetic stream is all in scope)."""
+    from heritrix_spark.functions.surt import url_prep_struct_col
     from heritrix_spark.operators.scope import default_scope
 
-    cands = candidates.filter(
+    prepped = candidates.withColumn("__prep", url_prep_struct_col("url"))
+    cands = prepped.filter(
         default_scope(
             F.col("url"),
             F.col("hops_path"),
             ["http://(example,"],  # synthetic corpus is all .example
+            surt=F.col("__prep.surt"),
         )
     )
     cands = (
-        cands.withColumn("canon_url", canonicalize_col("url"))
-        .withColumn("class_key", class_key_col("canon_url"))
+        cands.withColumn("canon_url", F.col("__prep.canon_url"))
+        .withColumn("class_key", F.col("__prep.class_key"))
+        .drop("__prep")
         .withColumn(
             "directive",
             scheduling_directive_col(F.col("hops_path"), F.lit(NORMAL).cast("int"))

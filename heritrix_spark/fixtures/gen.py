@@ -72,6 +72,9 @@ def generate(
     if hosts > 2:
         all_paths[host_names[2]].append("/cgi-bin/trap.html")
 
+    # one redirect path per host, linked to like any page (below)
+    redirect_paths = {h: f"/r{i % 7}.html" for i, h in enumerate(host_names)}
+
     def pick_target(src_host: str) -> str:
         # hot host gets hot_host_factor× the cross-host in-degree
         if rng.random() < 0.2:
@@ -79,8 +82,11 @@ def generate(
             dst = rng.choices(host_names, weights=weights, k=1)[0]
         else:
             dst = src_host
-        if rng.random() < 0.08:
+        r = rng.random()
+        if r < 0.08:
             return f"http://{dst}/missing{rng.randrange(100)}.html"  # dead link
+        if r < 0.18:
+            return f"http://{dst}{redirect_paths[dst]}"  # via a 301
         return f"http://{dst}{rng.choice(all_paths[dst])}"
 
     def messy(url: str) -> str:
@@ -134,6 +140,23 @@ def generate(
                         }
                     )
             fx.docs.append({"doc_id": doc_id, "spans": spans})
+
+        # one redirect doc per host (ExtractorHTTP 'R' exercise):
+        # /rN.html 301-redirects to a real page on the same host; its
+        # single span is kind='redirect' with the Location in media_ref
+        fx.docs.append(
+            {
+                "doc_id": canonicalize_py(f"http://{h}{redirect_paths[h]}"),
+                "spans": [
+                    {
+                        "kind": "redirect",
+                        "text": None,
+                        "media_ref": f"http://{h}{rng.choice(all_paths[h])}",
+                        "offset": 0,
+                    }
+                ],
+            }
+        )
 
     # seeds: one per first-3 hosts; include a www-form and an UPPERCASE form
     seed_urls = []

@@ -202,6 +202,82 @@ def canonicalize_py(url: str) -> str:
     return out
 
 
+# ------------------------------------------------------------------
+# Non-default rules (operator-configurable; not in the default chain):
+# StripWWWRule, StripExtraSlashes, RegexRule
+# (heritrix3/modules/.../canonicalize/StripWWWRule.java:45-53,
+#  StripExtraSlashes.java:34-47, RegexRule.java)
+# ------------------------------------------------------------------
+
+# StripWWWRule: drop a lone "www." (only when a path/query follows;
+# wwwN variants are left alone — that's StripWWWNRule's job)
+STRIP_WWW_RULE = StripRule(
+    "strip_www", r"(?i)^(https?://)(?:www\.)([^/]*/.+)$", 2
+)
+
+
+def apply_rule_col(url: Column, rule: StripRule) -> Column:
+    """One StripRule as a Column expression (no guard; for custom chains)."""
+    repl = "$1$2" if rule.groups == 2 else "$1"
+    return F.regexp_replace(url, rule.pattern, repl)
+
+
+def apply_rule_py(url: str, rule: StripRule) -> str:
+    pat = re.compile(rule.pattern)
+    return pat.sub(_py_repl(rule.groups), url, count=1)
+
+
+def strip_www_col(url: Column) -> Column:
+    return apply_rule_col(url, STRIP_WWW_RULE)
+
+
+def strip_www_py(url: str) -> str:
+    return apply_rule_py(url, STRIP_WWW_RULE)
+
+
+def strip_extra_slashes_col(url: Column) -> Column:
+    """StripExtraSlashes (StripExtraSlashes.java:34-47): collapse every
+    run of slashes after the authority to one, http/https only. The
+    reference loops its regex to a fixed point; the global replace of
+    ``([^:/])/+`` → ``$1/`` reaches the same fixed point in one pass
+    (the char class keeps ``://`` intact)."""
+    collapsed = F.regexp_replace(url, r"([^:/])/+", r"$1/")
+    return F.when(url.rlike(r"^https?://"), collapsed).otherwise(url)
+
+
+def strip_extra_slashes_py(url: str) -> str:
+    if not re.match(r"^https?://", url):
+        return url
+    return re.sub(r"([^:/])/+", r"\1/", url)
+
+
+def regex_rule(name: str, pattern: str, groups: int = 1) -> StripRule:
+    """RegexRule factory: operator-supplied match-and-keep-groups rule."""
+    return StripRule(name, pattern, groups)
+
+
+def canonicalize_custom_col(
+    url: Column | str, rules: tuple[StripRule, ...], lowercase: bool = True
+) -> Column:
+    """Run an operator-configured ordered rule list (the reference's
+    RulesCanonicalizationPolicy with a custom rule set). Linear chain —
+    keep rule lists short (~dozen) or planning cost grows."""
+    col = F.col(url) if isinstance(url, str) else url
+    out = F.lower(col) if lowercase else col
+    for rule in rules:
+        out = apply_rule_col(out, rule)
+    return out
+
+
+def canonicalize_custom_py(
+    url: str, rules: tuple[StripRule, ...], lowercase: bool = True
+) -> str:
+    out = url.lower() if lowercase else url
+    for rule in rules:
+        out = apply_rule_py(out, rule)
+    return out
+
+
 def canonicalize_sql(expr: str) -> str:
     """DuckDB SQL twin: renders the same chain over SQL expression `expr`."""
     out = f"lower({expr})"

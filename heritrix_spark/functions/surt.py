@@ -187,6 +187,45 @@ def class_key_col(url: Column | str) -> Column:
     return _CLASS_KEY_UDF(col)
 
 
+_URL_PREP_UDF = None
+
+
+def url_prep_struct_col(url: Column | str) -> Column:
+    """Fused hot-path UDF: raw url → struct(surt, canon_url, class_key).
+
+    The frontier prepare chain needs all three per candidate (scope
+    checks SURT of the raw URI, then canonical form, then queue key of
+    the canonical form — FrontierPreparer.java:161-179 order). Fusing
+    them into ONE pandas/Arrow UDF means one Python worker per task and
+    one Arrow round trip instead of three chained ArrowEvalPython
+    stages — chained UDFs each add a worker process per task, which
+    triples CPU oversubscription on the hot path.
+    """
+    global _URL_PREP_UDF
+    if _URL_PREP_UDF is None:
+        import pandas as pd
+        import pyarrow as pa
+        from pyspark.sql.functions import pandas_udf
+
+        from heritrix_spark.functions.canonicalize import _canonicalize_arrow
+
+        def _prep(s: pd.Series) -> pd.DataFrame:
+            arr = pa.Array.from_pandas(s, type=pa.string())
+            surt = _surt_arrow(arr)
+            canon = _canonicalize_arrow(arr)
+            key = _class_key_arrow(canon)
+            return pa.table(
+                {"surt": surt, "canon_url": canon, "class_key": key}
+            ).to_pandas()
+
+        _prep.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+        _URL_PREP_UDF = pandas_udf(
+            _prep, "surt string, canon_url string, class_key string"
+        )
+    col = F.col(url) if isinstance(url, str) else url
+    return _URL_PREP_UDF(col)
+
+
 def hostname_class_key_col(url: Column | str) -> Column:
     """HostnameQueueAssignmentPolicy: authority-minus-userinfo, https→``#443``."""
     col = F.col(url) if isinstance(url, str) else url

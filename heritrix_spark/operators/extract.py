@@ -73,9 +73,23 @@ def extract_outlinks(
         ),
     ).otherwise(F.array().cast("array<struct<target:string,hop_char:string>>"))
 
+    # kind='redirect': the span's media_ref is the Location header →
+    # one 'R' outlink (ExtractorHTTP.java Location handling)
+    redirect_links = F.when(
+        F.col("span.media_ref").isNotNull() & (F.col("span.media_ref") != ""),
+        F.array(
+            F.struct(
+                F.col("span.media_ref").alias("target"),
+                F.lit("R").alias("hop_char"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<target:string,hop_char:string>>"))
+
     span_links = spans.withColumn(
         "links",
-        F.when(F.col("span.kind") == "text", text_links).otherwise(media_links),
+        F.when(F.col("span.kind") == "text", text_links)
+        .when(F.col("span.kind") == "redirect", redirect_links)
+        .otherwise(media_links),
     )
 
     links = span_links.select(

@@ -50,14 +50,18 @@ def apply_rules(rules: list[Rule], start: bool = False) -> Column:
 # ------------------------------------------------------- individual rules
 
 
-def surt_prefix_predicate(url: Column, prefixes: list[str]) -> Column:
+def surt_prefix_predicate(
+    url: Column, prefixes: list[str], surt: Column | None = None
+) -> Column:
     """SurtPrefixedDecideRule: SURT form starts with any seed-derived prefix.
 
     For small prefix sets (the usual case: one prefix per seed host) this
     compiles to an OR of native ``startswith`` — JVM-side, broadcast-free.
     For very large seed lists use :func:`surt_prefix_join` instead.
+    Pass ``surt`` when the SURT form is already materialized (the fused
+    url_prep_struct_col path) to avoid a second UDF evaluation.
     """
-    s = surt_col(url)
+    s = surt_col(url) if surt is None else surt
     pred = F.lit(False)
     for p in prefixes:
         pred = pred | s.startswith(p)
@@ -130,11 +134,16 @@ def default_scope(
     hops_path: Column,
     seed_surt_prefixes: list[str],
     cfg: PolitenessConfig = PolitenessConfig(),
+    surt: Column | None = None,
 ) -> Column:
     """The default scope chain (profile-crawler-beans.cxml:114-183) as one
     boolean column: accept iff the last matching rule accepts."""
     rules = [
-        Rule("surt_prefix", surt_prefix_predicate(url, seed_surt_prefixes), True),
+        Rule(
+            "surt_prefix",
+            surt_prefix_predicate(url, seed_surt_prefixes, surt=surt),
+            True,
+        ),
         Rule("too_many_hops", too_many_hops_predicate(hops_path, cfg.max_hops), False),
         Rule("transclusion", transclusion_predicate(hops_path), True),
         Rule("pathological", pathological_path_predicate(url), False),

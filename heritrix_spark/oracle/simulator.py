@@ -320,6 +320,8 @@ def simulate(
                 and _is_flaky(uri.canon_url)
             ):
                 status, duration = S_CONNECT_FAILED, 0
+            elif spans is not None and spans and spans[0]["kind"] == "redirect":
+                status, duration = 301, 15
             elif spans is not None:
                 status, duration = 200, _fetch_duration_ms(spans)
             else:
@@ -334,6 +336,9 @@ def simulate(
                         found = _URL_RE.findall(sp["text"] or "")
                         for j, u in enumerate(found):
                             links.append((span_pos * (1 << 20) + j, u, "L"))
+                    elif sp["kind"] == "redirect":
+                        if sp["media_ref"]:
+                            links.append((span_pos * (1 << 20), sp["media_ref"], "R"))
                     else:
                         if sp["media_ref"]:
                             links.append((span_pos * (1 << 20), sp["media_ref"], "E"))

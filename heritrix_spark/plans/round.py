@@ -263,6 +263,13 @@ def run_round(
         % 7
         == 0
     ) if cfg.flaky_first_attempt else F.lit(False)
+    # a doc whose first span is kind='redirect' models a 301 response
+    # whose Location header is that span's media_ref (ExtractorHTTP)
+    is_redirect = (
+        F.col("spans").isNotNull()
+        & (F.size("spans") > 0)
+        & (F.element_at(F.col("spans"), 1)["kind"] == F.lit("redirect"))
+    )
     fetched = (
         fetched.withColumn(
             "fetch_status",
@@ -271,12 +278,14 @@ def run_round(
                 F.col("spans").isNotNull() & is_flaky & (F.col("attempts") == 0),
                 F.lit(S_CONNECT_FAILED),
             )
+            .when(is_redirect, F.lit(301))
             .when(F.col("spans").isNotNull(), F.lit(200))
             .otherwise(F.lit(404)),
         )
         .withColumn(
             "fetch_duration_ms",
             F.when(F.col("fetch_status") == 200, duration_found)
+            .when(F.col("fetch_status") == 301, F.lit(15))
             .when(F.col("fetch_status") == 404, F.lit(25))
             .otherwise(F.lit(0))
             .cast("long"),
@@ -302,12 +311,22 @@ def run_round(
             "hops_path"
         ),
     )
+    from heritrix_spark.functions.surt import url_prep_struct_col
+
+    cands = cands.withColumn("__prep", url_prep_struct_col("url"))
     cands = cands.filter(
-        default_scope(F.col("url"), F.col("hops_path"), seed_surt_prefixes, cfg)
+        default_scope(
+            F.col("url"),
+            F.col("hops_path"),
+            seed_surt_prefixes,
+            cfg,
+            surt=F.col("__prep.surt"),
+        )
     )
     cands = (
-        cands.withColumn("canon_url", canonicalize_col("url"))
-        .withColumn("class_key", class_key_col("canon_url"))
+        cands.withColumn("canon_url", F.col("__prep.canon_url"))
+        .withColumn("class_key", F.col("__prep.class_key"))
+        .drop("__prep")
         .withColumn(
             "directive",
             scheduling_directive_col(

@@ -130,3 +130,72 @@ def test_three_backends_agree_on_fuzz(spark):
         assert sp[u] == p, f"spark≠py for {u!r}: {sp[u]!r} != {p!r}"
         d = con.execute(f"select {expr} from (values (?)) t(url)", [u]).fetchone()[0]
         assert d == p, f"duckdb≠py for {u!r}: {d!r} != {p!r}"
+
+
+# ---------------------------------------------------------------- non-default rules
+
+def test_strip_www_goldens():
+    """StripWWWRuleTest.java golden pairs: lone 'www.' stripped only
+    when a path follows; ww / wWWW / www001 left alone."""
+    from heritrix_spark.functions.canonicalize import strip_www_py
+
+    assert (
+        strip_www_py("http://www.aRchive.Org/index.html")
+        == "http://aRchive.Org/index.html"
+    )
+    for unchanged in (
+        "http://wWWW.aRchive.Org/index.html",
+        "http://ww.aRchive.Org/index.html",
+        "http://www001.aRchive.Org/index.html",
+        "http://www.archive.org",  # no path component -> untouched
+    ):
+        assert strip_www_py(unchanged) == unchanged
+
+
+def test_strip_extra_slashes_goldens():
+    """StripExtraSlashes.java:34-47 fixed-point semantics."""
+    from heritrix_spark.functions.canonicalize import strip_extra_slashes_py
+
+    cases = {
+        "http://a.com//b///c": "http://a.com/b/c",
+        "http://a.com//": "http://a.com/",
+        "http://a.com/b/c": "http://a.com/b/c",
+        "ftp://a.com//b": "ftp://a.com//b",  # http(s) only
+        "http:///x": "http:///x",
+    }
+    for src, want in cases.items():
+        assert strip_extra_slashes_py(src) == want, src
+
+
+def test_custom_rules_spark_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from heritrix_spark.functions.canonicalize import (
+        STRIP_WWW_RULE,
+        canonicalize_custom_col,
+        canonicalize_custom_py,
+        regex_rule,
+        strip_extra_slashes_col,
+        strip_extra_slashes_py,
+    )
+
+    rules = (
+        STRIP_WWW_RULE,
+        regex_rule("drop_fragment", r"^([^#]*)(?:#.*)?$", 1),
+    )
+    urls = [
+        "HTTP://WWW.Example.COM/a//b#frag",
+        "http://www.example.com/x",
+        "http://example.com//a///b",
+        "http://www9.example.com/y",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rows = df.select(
+        "url",
+        strip_extra_slashes_col(
+            canonicalize_custom_col(F.col("url"), rules)
+        ).alias("c"),
+    ).collect()
+    for r in rows:
+        want = strip_extra_slashes_py(canonicalize_custom_py(r["url"], rules))
+        assert r["c"] == want, (r["url"], r["c"], want)

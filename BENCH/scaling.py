@@ -46,7 +46,7 @@ cands.write.mode("overwrite").parquet(out + "/candidates")
 (cands.filter(F.pmod(F.col("parent_ordinal"), 4) == 0)
       .select(canonicalize_col("url").alias("canon_url")).distinct()
       .select("canon_url", shard_col("canon_url", 64).alias("shard"))
-      .write.mode("overwrite").parquet(out + "/url_seen"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out + "/url_seen"))
 print("GENERATED")
 spark.stop()
 """

@@ -112,7 +112,7 @@ def schedule_dedup_pipeline(
     uniq = collapse_batch_duplicates(
         cands, key="canon_url", order_cols=("parent_ordinal", "link_seq")
     )
-    novel = dedup_candidates(uniq, url_seen)
+    novel = dedup_candidates(uniq, url_seen, n_shards=64)
     numbered, _ = assign_ordinals(
         novel,
         ["parent_ordinal", "link_seq", "canon_url"],
@@ -137,7 +137,7 @@ def run_schedule_dedup_bench(
         .distinct()
         .select("canon_url", shard_col("canon_url", 64).alias("shard"))
     )
-    seen.write.mode("overwrite").parquet(seen_path)
+    seen.write.mode("overwrite").partitionBy("shard").parquet(seen_path)
 
     candidates = spark.read.parquet(cand_path)
     url_seen = spark.read.parquet(seen_path)

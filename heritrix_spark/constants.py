@@ -114,6 +114,19 @@ class PolitenessConfig:
     # times, with attempts reset (CrawlURI.resetForRescheduling :1816).
     recrawl_interval_ms: int = -1
     max_recrawls: int = 1
+    # Robots prerequisite chain (PreconditionEnforcer.considerRobotsPreconditions,
+    # engine/.../prefetch/PreconditionEnforcer.java:203-245 + CrawlURI.markPrerequisite
+    # :1875-1896): when true, a host's first emission while its robots.txt
+    # has never been fetched (host_state.robots_fetched < 0) is DEFERRED
+    # (S_DEFERRED, no fetch, no expenditure, no snooze) and a prerequisite
+    # URI http://host/robots.txt is force-scheduled (addForce — bypasses
+    # the seen check) into the same queue with hop 'P' and directive =
+    # max(blocked.directive - 1, HIGHEST), so it sorts ahead of the
+    # blocked URI. Fetching the robots URI (any status — 404 = allow-all,
+    # CrawlServer.updateRobots :138) stamps robots_fetched; only then do
+    # the host's robots directives gate fetches. The robots URI itself is
+    # exempt from robots preclusion and from outlink extraction.
+    robots_prereq: bool = False
     # Test knob: when true, ~1/7 of existing docs (md5-selected) fail
     # their first fetch attempt with S_CONNECT_FAILED and succeed on
     # retry — exercises needsReenqueuing/retryDelay semantics

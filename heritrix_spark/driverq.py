@@ -124,6 +124,53 @@ def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _custom_canon_sql() -> str:
+    from heritrix_spark.functions.canonicalize import (
+        strip_extra_slashes_sql,
+        strip_www_sql,
+    )
+
+    return f"""
+    with u as ({_DUCK_URLS}),
+    v as (select doc_id,
+                 case when doc_id % 3 = 0 then replace(url, '/page', '///page')
+                      else url end as url
+          from u)
+    select cast(doc_id as bigint) as doc_id, url,
+           {strip_extra_slashes_sql(strip_www_sql('lower(url)'))} as canon_custom
+    from v order by doc_id
+    """
+
+
+@register("canonicalize_custom", _custom_canon_sql())
+def q_canonicalize_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-default canonicalization rules (RulesCanonicalizationPolicy
+    with an operator-supplied rule list): StripWWWRule
+    (StripWWWRule.java:45-53) + StripExtraSlashes
+    (StripExtraSlashes.java:34-47) — the configurable-chain analog."""
+    from heritrix_spark.functions.canonicalize import (
+        STRIP_WWW_RULE,
+        canonicalize_custom_col,
+        strip_extra_slashes_col,
+    )
+
+    u = _docs_urls(spark, sf_dir)
+    v = u.withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.replace(F.col("url"), F.lit("/page"), F.lit("///page")),
+        ).otherwise(F.col("url")),
+    )
+    return v.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "url",
+        strip_extra_slashes_col(
+            canonicalize_custom_col(F.col("url"), (STRIP_WWW_RULE,))
+        ).alias("canon_custom"),
+    ).orderBy("doc_id")
+
+
 # -------------------------------------------------- 2. SURT transform
 
 @register(
@@ -266,6 +313,56 @@ def q_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         politeness_delay_col(F.col("fetch_duration_ms"), F.col("crawl_delay"))
         .cast("long")
         .alias("delay_ms"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "robots_allows",
+    f"""
+    with u as ({_DUCK_URLS}),
+    p as (select doc_id,
+            case when regexp_extract(url, '^\\w+://[^/]+(/.*)$', 1) = '' then '/'
+                 else regexp_extract(url, '^\\w+://[^/]+(/.*)$', 1) end as path,
+            case when doc_id % 4 = 0 then ['/src']
+                 when doc_id % 4 = 2 then ['/src0'] else []::varchar[] end as allows,
+            case when doc_id % 4 = 0 then ['/']
+                 when doc_id % 4 = 1 then ['/src1/', '/src2/']
+                 when doc_id % 4 = 2 then ['/'] else []::varchar[] end as disallows
+          from u)
+    select cast(doc_id as bigint) as doc_id, path,
+      not (coalesce(list_max(list_transform(
+             list_filter(disallows, d -> starts_with(path, d)), d -> length(d))), 0)
+         > coalesce(list_max(list_transform(
+             list_filter(allows, a -> starts_with(path, a)), a -> length(a))), 0))
+        as allowed
+    from p order by doc_id
+    """,
+)
+def q_robots_allows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RobotsDirectives.allows prefix law (RobotsDirectives.java:39-58) as
+    higher-order array expressions over a deterministic directive mix:
+    full exclusion with an allow carve-out, path disallows, and empty."""
+    from heritrix_spark.operators.politeness import robots_allows_col, url_path_col
+
+    u = _docs_urls(spark, sf_dir)
+    mod = F.col("doc_id") % 4
+    empty = F.array().cast("array<string>")
+    allows = (
+        F.when(mod == 0, F.array(F.lit("/src")))
+        .when(mod == 2, F.array(F.lit("/src0")))
+        .otherwise(empty)
+    )
+    disallows = (
+        F.when(mod == 0, F.array(F.lit("/")))
+        .when(mod == 1, F.array(F.lit("/src1/"), F.lit("/src2/")))
+        .when(mod == 2, F.array(F.lit("/")))
+        .otherwise(empty)
+    )
+    path = url_path_col(F.col("url"))
+    return u.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        path.alias("path"),
+        robots_allows_col(allows, disallows, path).alias("allowed"),
     ).orderBy("doc_id")
 
 

@@ -286,3 +286,25 @@ def canonicalize_sql(expr: str) -> str:
         repl = r"\1\2" if rule.groups == 2 else r"\1"
         out = f"regexp_replace({out}, '{pat}', '{repl}')"
     return out
+
+
+def rule_sql(expr: str, rule: StripRule) -> str:
+    """One StripRule as DuckDB SQL (anchored → at most one match, so the
+    non-global replace agrees with Spark's global regexp_replace)."""
+    pat = rule.pattern.replace("'", "''")
+    repl = r"\1\2" if rule.groups == 2 else r"\1"
+    return f"regexp_replace({expr}, '{pat}', '{repl}')"
+
+
+def strip_www_sql(expr: str) -> str:
+    return rule_sql(expr, STRIP_WWW_RULE)
+
+
+def strip_extra_slashes_sql(expr: str) -> str:
+    """DuckDB twin of :func:`strip_extra_slashes_col` (needs the 'g'
+    flag — the pattern is unanchored and Spark replaces globally)."""
+    collapsed = f"regexp_replace({expr}, '([^:/])/+', '\\1/', 'g')"
+    return (
+        f"case when regexp_matches({expr}, '^https?://') "
+        f"then {collapsed} else {expr} end"
+    )

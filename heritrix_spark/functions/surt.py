@@ -238,6 +238,21 @@ def hostname_class_key_col(url: Column | str) -> Column:
     )
 
 
+def class_key_with_overrides_col(
+    computed: Column,
+    forced: Column | None = None,
+    previous: Column | None = None,
+) -> Column:
+    """forceQueueAssignment / deferToPrevious
+    (URIAuthorityBasedQueueAssignmentPolicy kp, SURVEY.md §2.4): an
+    operator-forced key wins outright; otherwise a sticky previous key
+    (the URI keeps the queue it was first assigned to, even if the
+    policy/overlay changed since); otherwise the computed policy key.
+    Expressed as one coalesce — null means "no override"."""
+    parts = [c for c in (forced, previous) if c is not None]
+    return F.coalesce(*parts, computed) if parts else computed
+
+
 # ---------------------------------------------------------------- Python
 
 

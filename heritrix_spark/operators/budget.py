@@ -49,9 +49,15 @@ def needs_retry_col(
 def retry_delay_ms_col(
     fetch_status: Column, cfg: PolitenessConfig = PolitenessConfig()
 ) -> Column:
-    """retryDelayFor: the standard delay for retryable failures, else 0."""
+    """retryDelayFor (AbstractFrontier.java:836-841): the standard delay
+    for connect-failed / connect-lost / DNS-fail; 0 otherwise — including
+    S_DEFERRED, whose re-enqueue must not snooze the queue (the deferred
+    URI's prerequisite is fetched on the queue's very next emission)."""
+    from heritrix_spark.constants import S_DEFERRED
+
     return F.when(
-        fetch_status.isin(*RETRY_STATUSES), F.lit(cfg.retry_delay_s * 1000)
+        fetch_status.isin(*RETRY_STATUSES) & (fetch_status != F.lit(S_DEFERRED)),
+        F.lit(cfg.retry_delay_s * 1000),
     ).otherwise(F.lit(0)).cast("long")
 
 

@@ -32,11 +32,20 @@ from pyspark.sql import functions as F
 URL_IN_TEXT_PATTERN = r"https?://[a-zA-Z0-9.\-]+(?::[0-9]+)?(?:/[^\s\"'<>]*)?"
 
 
+# TrapSuppressExtractor (modules/.../extractor/TrapSuppressExtractor.java):
+# suppress link extraction on pages *suspected of being crawler traps* —
+# the page still fetches and logs, but mines no outlinks. The default
+# trap signature is the pathological repeated-path-segment shape
+# (PathologicalPathDecideRule's regex applied at extraction time).
+TRAP_PATTERN = r"^[^?]*?/(.+?/)\1{2,}"
+
+
 def extract_outlinks(
     fetched: DataFrame,
     max_outlinks: int = 6000,
     url_col: str = "url",
     ordinal_col: str = "ordinal",
+    suppress_trap_pattern: str | None = None,
 ) -> DataFrame:
     """fetched(url, ordinal, fetch_status, hops_path, spans, ...) →
     links(via=url, parent_ordinal, target, hop_char, link_seq).
@@ -45,11 +54,15 @@ def extract_outlinks(
     spans are null. Returns one row per surviving outlink, capped at
     ``max_outlinks`` per document in link order, plus a
     ``discarded_outlinks`` count replicated on each row of its document
-    (0 when under the cap).
+    (0 when under the cap). ``suppress_trap_pattern`` (e.g.
+    :data:`TRAP_PATTERN`) drops trap-suspected pages from extraction
+    entirely (TrapSuppressExtractor analog).
     """
     eligible = fetched.filter(
         (F.col("fetch_status") >= 200) & (F.col("fetch_status") < 400)
     ).filter(F.col("spans").isNotNull())
+    if suppress_trap_pattern is not None:
+        eligible = eligible.filter(~F.col(url_col).rlike(suppress_trap_pattern))
 
     spans = eligible.select(
         F.col(url_col).alias("via"),

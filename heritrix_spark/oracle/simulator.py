@@ -40,6 +40,17 @@ THE ROUND SPEC (normative):
    (WorkQueueFrontier.findEligibleURI :616-623).
 
 2. Fetch (the docs-table join):
+   - robots PREREQUISITE (cfg.robots_prereq, PreconditionEnforcer
+     .considerRobotsPreconditions :203-245): a non-robots emission from
+     a host with robots_fetched < 0 → status S_DEFERRED, no fetch, no
+     expenditure, no snooze (retryDelayFor :836-841 → 0), deferrals+1
+     (attempts unchanged), re-enqueued; http://host/robots.txt is
+     force-scheduled (addForce) as a candidate with link_seq = -1, hop
+     'P', directive = max(parent-1, HIGHEST)
+     (CrawlURI.markPrerequisite :1875-1896). The robots URI itself is
+     exempt from deferral/preclusion and from extraction; completing
+     its fetch (any status; 404 = allow-all) stamps robots_fetched
+     (CrawlServer.updateRobots :138);
    - robots check on the canon URL's path (RobotsDirectives.allows
      :39-49 prefix law) → disallowed: status S_ROBOTS_PRECLUDED,
      disposition 'disregard', no fetch, no extraction;
@@ -89,9 +100,17 @@ THE ROUND SPEC (normative):
    occurred → durationToWait = 0).
    total_budget >= 0 and expenditure > total_budget → retired
    (WorkQueue.isOverTotalBudget :271-275).
-   (Session budget is tracked but does not gate: our rounds emit from
-   every ready host, equivalent to unbounded toe threads, under which
-   deactivated queues reactivate immediately — see SURVEY.md §2.5.)
+   SESSION budget ("duty cycle", WorkQueueFrontier.java:119-127):
+   expenditure also accrues to session_spent; when session_spent >
+   session_budget the host deactivates (WorkQueue.isOverSessionBudget
+   :260-264) — session_spent resets and activation_seq := round_no,
+   sending the host to the back of the per-precedence FIFO inactive
+   line. Under bounded activation (max_hosts_per_round > 0) the
+   activation order is (queue_precedence, activation_seq, class_key),
+   so over-budget hosts rotate out and other hosts get slots — the
+   reference's fairness-across-more-queues-than-threads behavior. With
+   unbounded activation the rotation is observably a no-op (every
+   ready host emits each round regardless), matching unbounded toes.
 """
 
 from __future__ import annotations
@@ -105,6 +124,7 @@ from heritrix_spark.constants import (
     MEDIUM,
     NORMAL,
     S_CONNECT_FAILED,
+    S_DEFERRED,
     S_ROBOTS_PRECLUDED,
     PolitenessConfig,
 )
@@ -137,6 +157,7 @@ class PendingUri:
     hops_path: str
     via: str | None
     attempts: int = 0
+    deferrals: int = 0
     recrawls: int = 0
 
 
@@ -146,6 +167,12 @@ class HostState:
     total_expenditure: int = 0
     succeeded: int = 0
     retired: bool = False
+    robots_fetched: int = -1  # epoch-ms of last robots.txt fetch, -1 = never
+    session_spent: int = 0  # expenditure since last activation (duty cycle)
+    activation_seq: int = 0  # FIFO inactive-line position (round number)
+
+
+_ROBOTS_URI_RE = re.compile(r"^https?://[^/]+/robots\.txt$")
 
 
 @dataclass
@@ -285,15 +312,18 @@ def simulate(
             ]
         ready = [ck for ck in eligible if hosts[ck].wake_time <= now]
         if cfg.max_hosts_per_round > 0:
-            ready = sorted(ready, key=lambda ck: (qprec(ck), ck))[
-                : cfg.max_hosts_per_round
-            ]
+            # precedence, then FIFO inactive order (duty-cycle rotation),
+            # then class_key (activateInactiveQueue :753-786)
+            ready = sorted(
+                ready, key=lambda ck: (qprec(ck), hosts[ck].activation_seq, ck)
+            )[: cfg.max_hosts_per_round]
         if not ready:
             continue  # unreachable: now >= min wake_time
         res.rounds = round_no
 
-        all_candidates: list[tuple[int, int, str, str, str, str]] = []
-        # (parent_ordinal, link_seq, canon, raw, hop_char_path, via)
+        all_candidates: list[tuple] = []
+        # (parent_ordinal, link_seq, canon, raw, hop_char_path, via,
+        #  force, directive_override)
 
         for ck in sorted(ready):
             q = queues[ck]
@@ -301,6 +331,7 @@ def simulate(
             uri = q.pop(0)
             host = hosts[ck]
 
+            is_robots_uri = bool(_ROBOTS_URI_RE.match(uri.canon_url))
             rb = robots.get(ck)
             path = _url_path(uri.canon_url)
             allowed = (
@@ -308,10 +339,17 @@ def simulate(
                 if rb
                 else True
             )
+            if cfg.robots_prereq and is_robots_uri:
+                allowed = True  # robots.txt exempt from preclusion
             crawl_delay = rb["crawl_delay"] if rb else -1.0
 
+            deferred = (
+                cfg.robots_prereq and not is_robots_uri and host.robots_fetched < 0
+            )
             spans = docs.get(uri.canon_url)
-            if not allowed:
+            if deferred:
+                status, duration = S_DEFERRED, 0
+            elif not allowed:
                 status, duration = S_ROBOTS_PRECLUDED, 0
             elif (
                 cfg.flaky_first_attempt
@@ -328,9 +366,10 @@ def simulate(
                 status, duration = 404, 25
             disposition = disposition_py(status, uri.attempts, cfg)
 
-            # extraction
+            # extraction (robots.txt bodies are parsed, never link-mined)
             links: list[tuple[int, str, str]] = []
-            if 200 <= status < 400 and spans:
+            extract_ok = not (cfg.robots_prereq and is_robots_uri)
+            if 200 <= status < 400 and spans and extract_ok:
                 for span_pos, sp in enumerate(spans):
                     if sp["kind"] == "text":
                         found = _URL_RE.findall(sp["text"] or "")
@@ -351,28 +390,54 @@ def simulate(
                     continue
                 all_candidates.append(
                     (uri.ordinal, link_seq, canonicalize_py(raw), raw, child_hops,
-                     uri.canon_url)
+                     uri.canon_url, False, None)
                 )
+            if deferred:
+                # markPrerequisite :1875-1896: force-schedule robots.txt,
+                # hop 'P', directive = max(parent - 1, HIGHEST); link_seq
+                # -1 sorts it ahead of the parent's real outlinks
+                m = re.match(r"^(https?://[^/]+)", uri.canon_url)
+                robots_url = m.group(1) + "/robots.txt"
+                child_hops = extend_hops_path_py(uri.hops_path, "P")
+                if _in_scope(robots_url, child_hops, prefixes, cfg):
+                    all_candidates.append(
+                        (uri.ordinal, -1, canonicalize_py(robots_url), robots_url,
+                         child_hops, uri.canon_url, True, max(uri.directive - 1, 0))
+                    )
+                else:
+                    res.out_of_scope += 1
 
             # host/budget update (spec step 6)
-            host.total_expenditure += expenditure_py(
-                disposition, uri.cost, status, cfg
-            )
+            spent = expenditure_py(disposition, uri.cost, status, cfg)
+            host.total_expenditure += spent
+            host.session_spent += spent
+            if host.session_spent > cfg.session_budget:
+                # over session budget → deactivate: replenish and go to
+                # the back of the activation line (WorkQueue
+                # .isOverSessionBudget :260-264, deactivateQueue :628-634)
+                host.session_spent = 0
+                host.activation_seq = round_no
             if disposition == "success":
                 host.succeeded += 1
             if disposition in ("success", "failure"):
                 delay = politeness_delay_py(duration, crawl_delay, cfg)
             elif disposition == "retry":
-                delay = cfg.retry_delay_s * 1000
+                # retryDelayFor :836-841: S_DEFERRED does not snooze
+                delay = 0 if status == S_DEFERRED else cfg.retry_delay_s * 1000
             else:
                 delay = 0
             host.wake_time = now + delay
+            if cfg.robots_prereq and is_robots_uri and status != S_DEFERRED:
+                host.robots_fetched = now  # CrawlServer.updateRobots :138
             if cfg.total_budget >= 0 and host.total_expenditure > cfg.total_budget:
                 host.retired = True
             if disposition == "retry":
-                # re-enqueue in place: same ordinal, attempts+1
-                # (processFinish unpeek/update path :906-940)
-                uri.attempts += 1
+                # re-enqueue in place: same ordinal; deferrals count
+                # separately from fetch attempts (CrawlURI.java:173-174)
+                if status == S_DEFERRED:
+                    uri.deferrals += 1
+                else:
+                    uri.attempts += 1
                 q.append(uri)
             elif (
                 cfg.recrawl_interval_ms >= 0
@@ -405,20 +470,30 @@ def simulate(
             )
 
         # --- candidate pipeline (batch across all ready hosts)
+        # mirrors the engine exactly: collapse batch duplicates FIRST
+        # (first in (parent_ordinal, link_seq, canon) order wins,
+        # regardless of force), then forced rows bypass the seen
+        # anti-join (addForce) while still marking the key seen
         all_candidates.sort(key=lambda c: (c[0], c[1], c[2]))
         batch_seen: set[str] = set()
-        for parent_ordinal, link_seq, canon, raw, child_hops, via in all_candidates:
+        for (
+            parent_ordinal, link_seq, canon, raw, child_hops, via,
+            force, directive_override,
+        ) in all_candidates:
             if canon in batch_seen:
                 res.dup_dropped += 1
                 continue
             batch_seen.add(canon)
-            if canon in res.url_seen:
+            if not force and canon in res.url_seen:
                 res.dup_dropped += 1
                 continue
             res.url_seen.add(canon)
             ck = class_key_py(canon)
             th = trans_hops_py(child_hops)
-            directive = MEDIUM if 0 < th <= cfg.preference_embed_hops else NORMAL
+            if directive_override is not None:
+                directive = directive_override
+            else:
+                directive = MEDIUM if 0 < th <= cfg.preference_embed_hops else NORMAL
             max_ordinal += 1
             pu = PendingUri(
                 url=raw, canon_url=canon, class_key=ck, directive=directive,
@@ -426,6 +501,7 @@ def simulate(
                 hops_path=child_hops, via=via,
             )
             queues.setdefault(ck, []).append(pu)
-            hosts.setdefault(ck, HostState(wake_time=0))
+            # new hosts join the back of the inactive line this round
+            hosts.setdefault(ck, HostState(wake_time=0, activation_seq=round_no))
 
     return res

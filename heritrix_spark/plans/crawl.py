@@ -71,7 +71,7 @@ def crawl(
         frontier, url_seen, host_state, max_ordinal = schedule_seeds(spark, seeds, cfg)
         store.write_full(frontier, "frontier", 0)
         store.write_full(host_state, "host_state", 0)
-        store.write_delta(url_seen, "url_seen", 0)
+        store.write_delta(url_seen, "url_seen", 0, partition_by=("shard",))
         store.write_delta(
             frontier.select(
                 F.lit(0).alias("round"),
@@ -147,7 +147,9 @@ def crawl(
         store.write_full(result.host_state, "host_state", round_no)
         if result.future_uris is not None:
             store.write_full(result.future_uris, "future_uris", round_no)
-        store.write_delta(result.url_seen_delta, "url_seen", round_no)
+        store.write_delta(
+            result.url_seen_delta, "url_seen", round_no, partition_by=("shard",)
+        )
         store.write_delta(result.fetch_log, "fetch_log", round_no)
         store.write_delta(result.lineage, "lineage", round_no)
         store.write_delta(

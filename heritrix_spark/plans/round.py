@@ -68,6 +68,7 @@ FRONTIER_COLUMNS = [
     "hops_path",
     "via",
     "attempts",
+    "deferrals",
     "recrawls",
 ]
 
@@ -78,8 +79,26 @@ HOST_STATE_SCHEMA = T.StructType(
         T.StructField("total_expenditure", T.LongType()),
         T.StructField("succeeded", T.LongType()),
         T.StructField("retired", T.BooleanType()),
+        # epoch-ms of the host's last robots.txt fetch, -1 = never
+        # (CrawlServer.robotsFetched, modules/.../net/CrawlServer.java:62-70)
+        T.StructField("robots_fetched", T.LongType()),
+        # session budget ("duty cycle", WorkQueueFrontier.java:119-127):
+        # expenditure since last activation; > session_budget → the queue
+        # deactivates (WorkQueue.isOverSessionBudget :260-264) — spent
+        # resets and the host moves to the back of the activation line
+        T.StructField("session_spent", T.LongType()),
+        # FIFO position in the inactive line (round number at which the
+        # host last entered it); activation order = (queue precedence,
+        # activation_seq, class_key) — the per-precedence FIFO of
+        # getInactiveQueuesForPrecedence (WorkQueueFrontier.java:485-496)
+        # at round granularity
+        T.StructField("activation_seq", T.LongType()),
     ]
 )
+
+# canon form of a host's robots.txt URI (robots special-casing,
+# PreconditionEnforcer.java:206-214 isRobotsTxt check)
+ROBOTS_URI_PATTERN = r"^https?://[^/]+/robots\.txt$"
 
 
 @dataclass
@@ -120,6 +139,7 @@ def schedule_seeds(
         F.lit("").alias("hops_path"),
         F.lit(None).cast("string").alias("via"),
         F.lit(0).cast("int").alias("attempts"),
+        F.lit(0).cast("int").alias("deferrals"),
         F.lit(0).cast("int").alias("recrawls"),
     )
     url_seen = frontier.select(
@@ -131,6 +151,9 @@ def schedule_seeds(
         F.lit(0).cast("long").alias("total_expenditure"),
         F.lit(0).cast("long").alias("succeeded"),
         F.lit(False).alias("retired"),
+        F.lit(-1).cast("long").alias("robots_fetched"),
+        F.lit(0).cast("long").alias("session_spent"),
+        F.lit(0).cast("long").alias("activation_seq"),
     )
     return frontier, url_seen, host_state, n
 
@@ -223,29 +246,67 @@ def run_round(
             F.col("__qprec") < F.lit(cfg.precedence_floor)
         )
 
-    head_w = Window.partitionBy("class_key").orderBy(
-        "directive", "precedence", "ordinal"
-    )
-    heads = (
-        frontier.withColumn("__rank", F.row_number().over(head_w))
-        .filter(F.col("__rank") == 1)
-        .drop("__rank")
-    )
     ready = eligible.filter(F.col("wake_time") <= F.lit(now))
     if cfg.max_hosts_per_round > 0:
         # precedence-ordered activation: best (lowest) queue precedence
-        # first, class_key tiebreak (activateInactiveQueue :753-786)
-        act_w = Window.orderBy(F.asc("__qprec"), F.asc("class_key"))
+        # first, then FIFO inactive order (activation_seq — hosts that
+        # rotated out over session budget go to the back), class_key
+        # tiebreak (activateInactiveQueue :753-786)
+        act_w = Window.orderBy(
+            F.asc("__qprec"), F.asc("activation_seq"), F.asc("class_key")
+        )
         ready = (
             ready.withColumn("__arank", F.row_number().over(act_w))
             .filter(F.col("__arank") <= cfg.max_hosts_per_round)
             .drop("__arank")
         )
-    ready_hosts = ready.select("class_key")
-    emitted = heads.join(F.broadcast(ready_hosts), on="class_key", how="inner")
+    # head-of-queue pick, ready hosts only. Two scale-critical physical
+    # choices vs the naive "window-rank the whole frontier then join":
+    # 1. the broadcast semi-join with ready_hosts comes FIRST, so the
+    #    head-pick only touches the ready hosts' pending rows (partition
+    #    pruning by host), never the full 10^10-row frontier;
+    # 2. the pick itself is min(struct(directive, precedence, ordinal,
+    #    rest...)) — the BdbMultipleWorkQueues insert-key order
+    #    (:425-441) as a lexicographic struct-min. A hash aggregate
+    #    partially combines map-side (one candidate head per host per
+    #    input partition crosses the shuffle); a row_number window must
+    #    shuffle every row first. Ordinal is unique per host, so the
+    #    min never reaches the non-ordering fields — deterministic.
+    ready_hosts = ready.select("class_key", "robots_fetched")
+    head_fields = [c for c in FRONTIER_COLUMNS if c != "class_key"] + [
+        "robots_fetched"
+    ]
+    order_first = ["directive", "precedence", "ordinal"]
+    head_rest = [c for c in head_fields if c not in order_first]
+    emitted = (
+        frontier.join(F.broadcast(ready_hosts), on="class_key", how="inner")
+        .groupBy("class_key")
+        .agg(
+            F.min(
+                F.struct(
+                    *[F.col(c) for c in order_first],
+                    *[F.col(c) for c in head_rest],
+                )
+            ).alias("__head")
+        )
+        .select(
+            "class_key",
+            *[F.col(f"__head.{c}").alias(c) for c in (*order_first, *head_rest)],
+        )
+    )
 
     # ---- fetch (spec step 2): robots gate + docs join
     emitted = join_robots(emitted, robots)  # adds robots_allowed, crawl_delay
+    # robots prerequisite chain (PreconditionEnforcer.considerRobotsPreconditions
+    # :203-245): with robots never fetched, a non-robots emission defers
+    # (S_DEFERRED) and force-schedules http://host/robots.txt with hop 'P';
+    # the robots URI itself is exempt from deferral and preclusion.
+    if cfg.robots_prereq:
+        is_robots_uri = F.col("canon_url").rlike(ROBOTS_URI_PATTERN)
+        defer_cond = (F.col("robots_fetched") < 0) & ~is_robots_uri
+    else:
+        is_robots_uri = F.lit(False)
+        defer_cond = F.lit(False)
     docs_sel = docs.select(F.col("doc_id"), F.col("spans"))
     fetched = emitted.join(
         docs_sel, on=emitted["canon_url"] == docs_sel["doc_id"], how="left"
@@ -270,10 +331,13 @@ def run_round(
         & (F.size("spans") > 0)
         & (F.element_at(F.col("spans"), 1)["kind"] == F.lit("redirect"))
     )
+    from heritrix_spark.constants import S_DEFERRED
+
     fetched = (
         fetched.withColumn(
             "fetch_status",
-            F.when(~F.col("robots_allowed"), F.lit(S_ROBOTS_PRECLUDED))
+            F.when(defer_cond, F.lit(S_DEFERRED))
+            .when(~F.col("robots_allowed") & ~is_robots_uri, F.lit(S_ROBOTS_PRECLUDED))
             .when(
                 F.col("spans").isNotNull() & is_flaky & (F.col("attempts") == 0),
                 F.lit(S_CONNECT_FAILED),
@@ -297,8 +361,13 @@ def run_round(
     fetched = fetched.persist()
 
     # ---- extraction (spec step 3) + candidates (spec step 4)
+    extractable = (
+        fetched.filter(~F.col("canon_url").rlike(ROBOTS_URI_PATTERN))
+        if cfg.robots_prereq
+        else fetched
+    )
     links = extract_outlinks(
-        fetched, max_outlinks=cfg.max_outlinks, url_col="canon_url"
+        extractable, max_outlinks=cfg.max_outlinks, url_col="canon_url"
     )
     from heritrix_spark.functions.hops import extend_hops_path_col
 
@@ -311,6 +380,30 @@ def run_round(
             "hops_path"
         ),
     )
+    if cfg.robots_prereq:
+        # prerequisite candidates (CrawlURI.markPrerequisite :1875-1896):
+        # one per deferred emission, link_seq = -1 so the prereq sorts
+        # ahead of the parent's real outlinks under the ordinal law;
+        # directive = max(parent - 1, HIGHEST); forceFetch bypasses the
+        # seen check (UriUniqFilter.addForce). Routed to the via's queue
+        # (getPolicyBasisUURI :1731-1742) — same authority, same class_key.
+        prereq_cands = fetched.filter(F.col("fetch_status") == S_DEFERRED).select(
+            F.concat(
+                F.regexp_extract(F.col("canon_url"), r"^(https?://[^/]+)", 1),
+                F.lit("/robots.txt"),
+            ).alias("url"),
+            F.col("ordinal").alias("parent_ordinal"),
+            F.lit(-1).cast("long").alias("link_seq"),
+            F.col("canon_url").alias("via"),
+            extend_hops_path_col(F.col("hops_path"), F.lit("P")).alias("hops_path"),
+            F.greatest(F.col("directive") - 1, F.lit(0))
+            .cast("int")
+            .alias("__directive_override"),
+            F.lit(True).alias("force_fetch"),
+        )
+        cands = cands.withColumn(
+            "__directive_override", F.lit(None).cast("int")
+        ).withColumn("force_fetch", F.lit(False)).unionByName(prereq_cands)
     from heritrix_spark.functions.surt import url_prep_struct_col
 
     cands = cands.withColumn("__prep", url_prep_struct_col("url"))
@@ -329,19 +422,30 @@ def run_round(
         .drop("__prep")
         .withColumn(
             "directive",
-            scheduling_directive_col(
-                F.col("hops_path"), F.lit(NORMAL).cast("int"), cfg
+            (
+                F.coalesce(
+                    F.col("__directive_override"),
+                    scheduling_directive_col(
+                        F.col("hops_path"), F.lit(NORMAL).cast("int"), cfg
+                    ),
+                )
+                if cfg.robots_prereq
+                else scheduling_directive_col(
+                    F.col("hops_path"), F.lit(NORMAL).cast("int"), cfg
+                )
             ).cast("int"),
         )
         .withColumn("cost", unit_cost_col().cast("int"))
         .withColumn("precedence", cost_uri_precedence_col(F.col("cost")).cast("int"))
     )
+    if cfg.robots_prereq:
+        cands = cands.drop("__directive_override")
 
     # ---- dedup + ordinals (spec step 5)
     unique = collapse_batch_duplicates(
         cands, key="canon_url", order_cols=("parent_ordinal", "link_seq")
     )
-    novel = dedup_candidates(unique, url_seen)
+    novel = dedup_candidates(unique, url_seen, n_shards=cfg.n_seen_shards)
     novel, n_novel = assign_ordinals(
         novel,
         ["parent_ordinal", "link_seq", "canon_url"],
@@ -362,15 +466,30 @@ def run_round(
         "hops_path",
         F.col("via"),
         F.lit(0).cast("int").alias("attempts"),
+        F.lit(0).cast("int").alias("deferrals"),
         F.lit(0).cast("int").alias("recrawls"),
     )
 
     # ---- frontier update: drop emitted, re-enqueue retries, add novel
+    # (deferrals count separately from fetch attempts: the precondition
+    # defer happens before any fetch — CrawlURI.incrementDeferrals vs
+    # fetchAttempts, CrawlURI.java:173-174)
     emitted_ordinals = fetched.select("ordinal")
     remaining = frontier.join(emitted_ordinals, on="ordinal", how="left_anti")
     retries = (
         fetched.filter(F.col("disposition") == "retry")
-        .withColumn("attempts", F.col("attempts") + 1)
+        .withColumn(
+            "attempts",
+            F.when(F.col("fetch_status") == S_DEFERRED, F.col("attempts")).otherwise(
+                F.col("attempts") + 1
+            ),
+        )
+        .withColumn(
+            "deferrals",
+            F.when(
+                F.col("fetch_status") == S_DEFERRED, F.col("deferrals") + 1
+            ).otherwise(F.col("deferrals")),
+        )
         .select(*FRONTIER_COLUMNS)
     )
     frontier_next = (
@@ -397,6 +516,7 @@ def run_round(
             "hops_path",
             "via",
             F.lit(0).cast("int").alias("attempts"),  # resetForRescheduling :1816
+            F.lit(0).cast("int").alias("deferrals"),
             (F.col("recrawls") + 1).cast("int").alias("recrawls"),
             (F.lit(now) + F.lit(cfg.recrawl_interval_ms)).cast("long").alias(
                 "reschedule_time"
@@ -413,7 +533,14 @@ def run_round(
             F.col("disposition").isin("success", "failure"),
             politeness_delay_col(F.col("fetch_duration_ms"), F.col("crawl_delay"), cfg),
         )
-        .when(F.col("disposition") == "retry", F.lit(cfg.retry_delay_s * 1000))
+        .when(
+            F.col("disposition") == "retry",
+            # retryDelayFor :836-841 — S_DEFERRED re-enqueues without
+            # snoozing so the prerequisite is fetched next emission
+            F.when(F.col("fetch_status") == S_DEFERRED, F.lit(0)).otherwise(
+                F.lit(cfg.retry_delay_s * 1000)
+            ),
+        )
         .otherwise(F.lit(0))
         .cast("long")
     )
@@ -428,10 +555,19 @@ def run_round(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("succ_inc"),
+        # any completed robots.txt fetch stamps the host (CrawlServer.updateRobots
+        # :138 — a 404 means allow-all but still counts as fetched)
+        F.when(
+            is_robots_uri & (F.col("fetch_status") != S_DEFERRED), F.lit(now)
+        )
+        .cast("long")
+        .alias("new_robots_fetched"),
     )
     updated = (
         host_state.join(
-            host_updates.select("class_key", "expend", "new_wake", "succ_inc"),
+            host_updates.select(
+                "class_key", "expend", "new_wake", "succ_inc", "new_robots_fetched"
+            ),
             on="class_key",
             how="left",
         )
@@ -445,6 +581,13 @@ def run_round(
                 "succeeded"
             ),
             F.col("retired"),
+            F.coalesce(F.col("new_robots_fetched"), F.col("robots_fetched")).alias(
+                "robots_fetched"
+            ),
+            (F.col("session_spent") + F.coalesce(F.col("expend"), F.lit(0))).alias(
+                "session_spent"
+            ),
+            F.col("activation_seq"),
         )
         .withColumn(
             "retired",
@@ -454,6 +597,27 @@ def run_round(
                 & (F.col("total_expenditure") > F.lit(cfg.total_budget))
             ),
         )
+        # duty cycle: over session budget → deactivate (reset spent,
+        # move to the back of the activation line). With unbounded
+        # activation this is observably a no-op (the host re-activates
+        # next round regardless), matching unbounded toe threads.
+        .withColumn(
+            "__over_session",
+            F.col("session_spent") > F.lit(cfg.session_budget),
+        )
+        .withColumn(
+            "session_spent",
+            F.when(F.col("__over_session"), F.lit(0)).otherwise(
+                F.col("session_spent")
+            ),
+        )
+        .withColumn(
+            "activation_seq",
+            F.when(F.col("__over_session"), F.lit(round_no).cast("long")).otherwise(
+                F.col("activation_seq")
+            ),
+        )
+        .drop("__over_session")
     )
     new_hosts = (
         novel_frontier.select("class_key")
@@ -465,6 +629,10 @@ def run_round(
             F.lit(0).cast("long").alias("total_expenditure"),
             F.lit(0).cast("long").alias("succeeded"),
             F.lit(False).alias("retired"),
+            F.lit(-1).cast("long").alias("robots_fetched"),
+            F.lit(0).cast("long").alias("session_spent"),
+            # new hosts join the back of the inactive line this round
+            F.lit(round_no).cast("long").alias("activation_seq"),
         )
     )
     host_state_next = updated.unionByName(new_hosts)
@@ -473,6 +641,12 @@ def run_round(
     url_seen_delta = novel.select(
         "canon_url", shard_col("canon_url", cfg.n_seen_shards).alias("shard")
     )
+    if cfg.robots_prereq:
+        # forced (addForce) rows may already be members; keep the seen
+        # table duplicate-free (the delta is small — one anti-join probe)
+        url_seen_delta = url_seen_delta.join(
+            url_seen.select("canon_url"), on="canon_url", how="left_anti"
+        )
     fetch_log = (
         fetched.join(
             host_updates.select("class_key", "politeness_delay_ms"),

@@ -89,9 +89,23 @@ class SnapStore:
         df.write.mode("overwrite").parquet(path)
         self._staged = {**self._staged, table: "full"}
 
-    def write_delta(self, df: DataFrame, table: str, round_no: int) -> None:
+    def write_delta(
+        self,
+        df: DataFrame,
+        table: str,
+        round_no: int,
+        partition_by: tuple[str, ...] = (),
+    ) -> None:
+        """``partition_by`` (e.g. ``("shard",)`` for url_seen) is the
+        plain-parquet analog of Iceberg ``bucket(canon_url)`` partitioning:
+        readers joining on the partition column get file-level pruning,
+        and at production scale the same layout enables storage-partitioned
+        joins (no seen-side shuffle)."""
         path = self._dir(table, round_no)
-        df.write.mode("overwrite").parquet(path)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         self._staged = {**self._staged, table: "delta"}
 
     def read(self, table: str) -> DataFrame | None:
@@ -103,7 +117,26 @@ class SnapStore:
         if entry["mode"] == "full":
             return self.spark.read.parquet(self._dir(table, entry["round"]))
         paths = [self._dir(table, r) for r in entry["rounds"]]
-        return self.spark.read.parquet(*paths)
+        # one read per delta dir, unioned: partitioned deltas (url_seen)
+        # are each their own partition-discovery root, so a single
+        # multi-path scan would refuse mixed roots (KD009). Dirs with no
+        # data files (a round that scheduled nothing novel writes an
+        # empty partitioned delta) are skipped — they carry no rows and
+        # would fail schema inference. Iceberg subsumes all of this with
+        # real snapshot/manifest reads at scale.
+        paths = [p for p in paths if self._has_data_files(p)]
+        dfs = [self.spark.read.parquet(p) for p in paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    @staticmethod
+    def _has_data_files(path: str) -> bool:
+        for _, _, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

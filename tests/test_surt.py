@@ -95,3 +95,24 @@ def test_hostname_class_key_spark(spark):
     }
     for url, expected in cases:
         assert got[url] == expected, f"{url!r}: {got[url]!r}"
+
+
+def test_class_key_overrides(spark):
+    """forceQueueAssignment beats deferToPrevious beats the policy key
+    (URIAuthorityBasedQueueAssignmentPolicy kp overrides, SURVEY.md §2.4)."""
+    from pyspark.sql import functions as F
+
+    from heritrix_spark.functions.surt import class_key_with_overrides_col
+
+    rows = [
+        ("http://a.example/x", None, None),       # policy key
+        ("http://a.example/x", None, "prev,key,"),  # sticky previous
+        ("http://a.example/x", "forced,", "prev,key,"),  # forced wins
+    ]
+    df = spark.createDataFrame(rows, ["url", "forced", "previous"])
+    out = df.select(
+        class_key_with_overrides_col(
+            class_key_col("url"), F.col("forced"), F.col("previous")
+        ).alias("ck")
+    ).collect()
+    assert [r.ck for r in out] == ["example,a,", "prev,key,", "forced,"]

@@ -86,7 +86,7 @@ spark.stop()
 
 
 def run_sub(
-    code: str, args: list[str], timeout: int = 3000, cpus: int | None = None
+    code: str, args: list[str], timeout: int = 1800, cpus: int | None = None
 ) -> str:
     """Run a python job, optionally CPU-affinity-bound to ``cpus`` cores.
 
@@ -97,16 +97,24 @@ def run_sub(
     cluster executors are cgroup-bound; ``taskset`` is the single-box
     equivalent, confining the JVM + all its Python workers to the
     config's core budget.
+
+    A timed-out JVM returns "" instead of raising: this sandbox can
+    rarely wedge a PySpark python-worker socket (executor blocks forever
+    reading from an idle worker); the study then just uses the samples
+    from the JVMs that completed.
     """
     cmd = [sys.executable, "-c", code, *args]
     if cpus is not None:
         cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
-    out = subprocess.run(
-        cmd,
-        capture_output=True,
-        text=True,
-        timeout=timeout,
-    )
+    try:
+        out = subprocess.run(
+            cmd,
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return ""
     return out.stdout + "\n" + out.stderr[-500:]
 
 
@@ -126,6 +134,7 @@ def main() -> None:
 
     best: dict[int, dict] = {}
     all_runs: dict[int, list] = {lo: [], hi: []}
+    failures: dict[int, int] = {lo: 0, hi: 0}
     for _ in range(outer):
         for cores in (lo, hi):
             out = run_sub(
@@ -137,10 +146,17 @@ def main() -> None:
             for line in out.splitlines():
                 if line.startswith("RESULT "):
                     r = json.loads(line[len("RESULT "):])
-            assert r is not None, out[-1500:]
+            if r is None:  # hung/failed JVM — skip, keep the other samples
+                failures[cores] += 1
+                print(f"WARN: local[{cores}] JVM produced no result "
+                      f"(hang/timeout), skipping", file=sys.stderr)
+                continue
             all_runs[cores].extend(r["samples"])
             if cores not in best or r["elapsed_sec"] < best[cores]["elapsed_sec"]:
                 best[cores] = r
+    assert lo in best and hi in best, (
+        f"all JVMs failed for a level: failures={failures}"
+    )
     rlo, rhi = best[lo], best[hi]
     eff = (rhi["urls_per_sec"] / rlo["urls_per_sec"]) / (hi / lo)
     result = {
@@ -153,6 +169,7 @@ def main() -> None:
         f"elapsed_local{hi}_sec": round(rhi["elapsed_sec"], 2),
         f"all_elapsed_local{lo}_sec": all_runs[lo],
         f"all_elapsed_local{hi}_sec": all_runs[hi],
+        "jvm_failures": failures,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
     }

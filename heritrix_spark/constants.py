@@ -86,6 +86,13 @@ class PolitenessConfig:
     total_budget: int = -1  # WorkQueueFrontier.java:143 (-1 = unlimited)
     precedence_floor: int = 255  # WorkQueueFrontier.java:164
     max_outlinks: int = 6000  # AbstractFrontier.java:138
+    # Per-host bandwidth throttle (DispositionProcessor.java:263-290,
+    # maxPerHostBandwidthUsageKbSec; reference default 0 = off): after a
+    # fetch of b content bytes the host may not emit again before
+    # fetch_end + b*1000/(kb*1024) ms; the effective wake is
+    # max(politeness wake, bandwidth wake). Content bytes in this model =
+    # sum over spans of len(text) + len(media_ref).
+    max_per_host_kb_sec: int = 0
     preference_embed_hops: int = 1  # FrontierPreparer preferenceEmbedHops default
     preference_depth_hops: int = -1  # FrontierPreparer preferenceDepthHops default
     max_hops: int = 20  # TooManyHopsDecideRule default maxHops

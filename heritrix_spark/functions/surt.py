@@ -219,9 +219,17 @@ def url_prep_struct_col(url: Column | str) -> Column:
             ).to_pandas()
 
         _prep.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+        # asNondeterministic is an OPTIMIZER FENCE, not a semantic claim:
+        # the function is pure, but left "deterministic" Catalyst pushes
+        # the scope filter (which reads .surt) below the projection
+        # (which reads .canon_url/.class_key) and re-expands the UDF on
+        # both sides — the hot-path plan then runs TWO ArrowEvalPython
+        # stages over every candidate instead of one (verified via
+        # explain("formatted"): duplicate _prep(url) nodes). Marking it
+        # nondeterministic pins one evaluation with the filter above it.
         _URL_PREP_UDF = pandas_udf(
             _prep, "surt string, canon_url string, class_key string"
-        )
+        ).asNondeterministic()
     col = F.col(url) if isinstance(url, str) else url
     return _URL_PREP_UDF(col)
 

@@ -140,3 +140,33 @@ def average_queue_depth(frontier: DataFrame) -> DataFrame:
         F.max("count").cast("long").alias("deepest"),
         F.count("*").cast("long").alias("n_queues"),
     )
+
+
+def congestion_ratio(
+    frontier: DataFrame, host_state: DataFrame, now_ms: int
+) -> DataFrame:
+    """congestionRatio analog (WorkQueueFrontier.java:1564-1574): how many
+    queues *want* attention per queue *getting* it —
+    ``(active + inactive) / (in-process + snoozed)`` in the reference.
+
+    Round-model state mapping (SURVEY.md §1.3 — lifecycle is derived, not
+    stored): a host with pending URIs is ``ready`` when ``wake_time <=
+    now`` (it will emit this round — the serviced set; in-process is
+    empty between rounds) and ``snoozed`` otherwise. So
+    ``congestion = nonempty_hosts / max(1, ready_hosts)``: 1.0 = every
+    queue is being serviced; >1 = politeness/budget backlog.
+    """
+    nonempty = frontier.select("class_key").distinct()
+    joined = nonempty.join(
+        host_state.select("class_key", "wake_time", "retired"),
+        on="class_key",
+        how="left",
+    ).filter(~F.coalesce(F.col("retired"), F.lit(False)))
+    ready = F.coalesce(
+        F.sum((F.col("wake_time") <= F.lit(now_ms)).cast("long")), F.lit(0)
+    )
+    return joined.agg(
+        F.count("*").cast("long").alias("nonempty_queues"),
+        ready.cast("long").alias("ready_queues"),
+        (F.count("*") / F.greatest(ready, F.lit(1))).alias("congestion_ratio"),
+    )

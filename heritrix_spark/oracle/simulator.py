@@ -426,7 +426,16 @@ def simulate(
                 delay = 0 if status == S_DEFERRED else cfg.retry_delay_s * 1000
             else:
                 delay = 0
-            host.wake_time = now + delay
+            # bandwidth throttle (DispositionProcessor.java:263-290):
+            # effective wake = max(politeness, bytes*1000/(kb*1024))
+            wake_delay = delay
+            if cfg.max_per_host_kb_sec > 0 and status in (200, 301) and spans:
+                content_bytes = sum(
+                    len(s["text"] or "") + len(s["media_ref"] or "") for s in spans
+                )
+                bw_ms = content_bytes * 1000 // (cfg.max_per_host_kb_sec * 1024)
+                wake_delay = max(delay, bw_ms)
+            host.wake_time = now + wake_delay
             if cfg.robots_prereq and is_robots_uri and status != S_DEFERRED:
                 host.robots_fetched = now  # CrawlServer.updateRobots :138
             if cfg.total_budget >= 0 and host.total_expenditure > cfg.total_budget:

@@ -544,12 +544,34 @@ def run_round(
         .otherwise(F.lit(0))
         .cast("long")
     )
+    # bandwidth throttle (DispositionProcessor.java:263-290): effective
+    # wake = max(politeness wake, now + bytes*1000/(kb*1024)). Off by
+    # default (reference maxPerHostBandwidthUsageKbSec = 0). Integer
+    # division keeps engine and oracle bit-identical.
+    if cfg.max_per_host_kb_sec > 0:
+        content_bytes = F.coalesce(
+            F.aggregate(
+                F.col("spans"),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.length(F.coalesce(s["text"], F.lit("")))
+                + F.length(F.coalesce(s["media_ref"], F.lit(""))),
+            ),
+            F.lit(0).cast("long"),
+        )
+        bw_ms = F.when(
+            F.col("fetch_status").isin(200, 301),
+            F.floor(content_bytes * 1000 / F.lit(cfg.max_per_host_kb_sec * 1024)),
+        ).otherwise(F.lit(0)).cast("long")
+        wake_delay = F.greatest(delay_expr, bw_ms)
+    else:
+        wake_delay = delay_expr
     host_updates = fetched.select(
         "class_key",
         expenditure_col(
             F.col("disposition"), F.col("cost"), F.col("fetch_status"), cfg
         ).alias("expend"),
-        (F.lit(now) + delay_expr).cast("long").alias("new_wake"),
+        (F.lit(now) + wake_delay).cast("long").alias("new_wake"),
         delay_expr.alias("politeness_delay_ms"),
         F.when(F.col("disposition") == "success", F.lit(1))
         .otherwise(F.lit(0))

@@ -93,3 +93,24 @@ def test_salt_desalt_roundtrip(spark):
     for r in out:
         assert r["back"] == r["class_key"]
         assert r["salted"].startswith(r["class_key"] + "#s")
+
+
+def test_congestion_ratio(spark):
+    """congestionRatio (WorkQueueFrontier :1564-1574): queues wanting
+    attention per queue being serviced, on derived round-model states."""
+    from heritrix_spark.operators.reports import congestion_ratio
+
+    frontier = spark.createDataFrame(
+        [("a,", 1), ("a,", 2), ("b,", 3), ("c,", 4)],
+        ["class_key", "ordinal"],
+    )
+    host_state = spark.createDataFrame(
+        [("a,", 0, False), ("b,", 5000, False), ("c,", 9000, False),
+         ("d,", 0, False)],  # d has no pending rows → not counted
+        ["class_key", "wake_time", "retired"],
+    )
+    row = congestion_ratio(frontier, host_state, now_ms=5000).collect()[0]
+    # nonempty: a, b, c; ready (wake<=5000): a, b → 3/2
+    assert row["nonempty_queues"] == 3
+    assert row["ready_queues"] == 2
+    assert abs(row["congestion_ratio"] - 1.5) < 1e-9

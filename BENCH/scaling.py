@@ -60,7 +60,13 @@ from heritrix_spark.benchlib import schedule_dedup_pipeline
 cores = int(sys.argv[1]); n = int(sys.argv[2]); data = sys.argv[3]
 inner = int(sys.argv[4])
 spark = build_session(app_name=f"scaling-{{cores}}", cores=cores,
-                      shuffle_partitions=max(cores * 2, 16))
+                      shuffle_partitions=max(cores * 2, 16),
+                      # fork a fresh python worker per task: the reused-
+                      # worker socket protocol can wedge an executor
+                      # under high thread counts in this sandbox (JVM
+                      # blocks reading from an idle worker); fork cost is
+                      # noise at these task sizes
+                      extra_conf={{"spark.python.worker.reuse": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
 candidates = spark.read.parquet(data + "/candidates")
 url_seen = spark.read.parquet(data + "/url_seen")

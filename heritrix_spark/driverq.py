@@ -876,12 +876,22 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     select date_trunc('minute', ts) as window_start, event_type,
       cast(count(*) as bigint) as n_events,
-      cast(sum(cast(value as decimal(14,2))) as decimal(18,2)) as total_value
+      cast(sum(cast(floor(value * 100 + 0.5) as bigint)) as bigint)
+        as total_value_cents
     from events group by 1, 2 order by window_start, event_type
     """,
 )
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed aggregation over the events stream.
+
+    Money math is done in integer cents (floor(v*100+0.5) on the IEEE
+    double, identically in Spark and DuckDB) so the cross-engine hash
+    compare is exact: per-row double->decimal casts round differently
+    between engines (Spark BigDecimal HALF_UP on the binary value vs
+    DuckDB's decimal-string rounding).
+    """
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
     return (
         events.groupBy(
             F.date_trunc("minute", F.col("ts")).alias("window_start"),
@@ -889,9 +899,7 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(14,2)"))
-            .cast("decimal(18,2)")
-            .alias("total_value"),
+            F.sum(cents).cast("long").alias("total_value_cents"),
         )
         .orderBy("window_start", "event_type")
     )
@@ -906,7 +914,8 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag(ts) over (partition by user_id order by ts, event_id) as prev
         from events),
     s as (select user_id, event_id, ts,
-        case when prev is null or date_diff('second', prev, ts) > 1800
+        case when prev is null
+               or epoch_us(ts) - epoch_us(prev) > 1800000000
              then 1 else 0 end as is_new
         from e),
     n as (select user_id, ts, event_id,
@@ -927,11 +936,21 @@ def q_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = events.withColumn("prev", F.lag("ts").over(w))
+    # Gap test in exact integer microseconds on both sides: Spark's
+    # timestampdiff(SECOND, ...) truncates elapsed seconds while DuckDB's
+    # date_diff counts boundary crossings — same-unit integer math avoids
+    # the dialect divergence entirely.
     s = e.withColumn(
         "is_new",
         F.when(
             F.col("prev").isNull()
-            | (F.expr("timestampdiff(SECOND, prev, ts)") > 1800),
+            | (
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev").cast("timestamp"))
+                )
+                > F.lit(1800000000).cast("long")
+            ),
             1,
         ).otherwise(0),
     )

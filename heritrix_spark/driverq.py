@@ -651,11 +651,26 @@ _DUCK_MINHASH_PAIRS = f"""
       select doc_id, 2, mh4::varchar || ',' || mh5::varchar from sig
       union all
       select doc_id, 3, mh6::varchar || ',' || mh7::varchar from sig
+    ),
+    -- hot-bucket cap twin (pipeline.dedup.minhash_lsh_dedup max_bucket=64):
+    -- over-cap buckets emit star pairs around the bucket min instead of
+    -- the quadratic self-join
+    counted as (
+      select doc_id, band, band_sig,
+             count(*) over (partition by band, band_sig) as c,
+             min(doc_id) over (partition by band, band_sig) as hub
+      from bands
+    ),
+    allpairs as (
+      select a.doc_id as a_raw, b.doc_id as b_raw
+      from counted a join counted b
+        on a.band = b.band and a.band_sig = b.band_sig
+      where a.c <= 64 and a.doc_id < b.doc_id
+      union all
+      select hub, doc_id from counted where c > 64 and doc_id <> hub
     )
-    select distinct cast(a.doc_id as bigint) as a_id,
-                    cast(b.doc_id as bigint) as b_id
-    from bands a join bands b on a.band = b.band and a.band_sig = b.band_sig
-    where a.doc_id < b.doc_id
+    select distinct cast(a_raw as bigint) as a_id, cast(b_raw as bigint) as b_id
+    from allpairs
     order by a_id, b_id
 """
 
@@ -1115,11 +1130,12 @@ ORACLE_SQL["uuri_fixup"] = _uuri_fixup_oracle()
 # -------------------------------------------------- 25. assignment-level queue keys
 
 def _assignment_oracle() -> str:
-    from heritrix_spark.functions.psl import reduce_surt_sql
+    from heritrix_spark.functions.psl import psl_rules_cte, reduce_surt_sql
 
     ck = class_key_sql(canonicalize_sql("url"))
     return f"""
-    with u as ({_DUCK_URLS}),
+    with {psl_rules_cte()},
+    u as ({_DUCK_URLS}),
     k as (select {reduce_surt_sql(ck)} as assign_key from u)
     select assign_key, cast(count(*) as bigint) as n
     from k group by assign_key order by assign_key
@@ -1158,12 +1174,13 @@ _DISPO_SQL = """
 
 
 def _substats_oracle() -> str:
-    from heritrix_spark.functions.psl import reduce_surt_sql
+    from heritrix_spark.functions.psl import psl_rules_cte, reduce_surt_sql
 
     ck = class_key_sql(canonicalize_sql("url"))
     hostkey = "regexp_replace(key, '#[0-9]+$', '')"
     return f"""
-    with u as ({_DUCK_URLS}),
+    with {psl_rules_cte()},
+    u as ({_DUCK_URLS}),
     d as (select {ck} as key, {_DISPO_SQL} as disposition from u),
     lev as (
       select 'server' as level, key, disposition from d

@@ -136,6 +136,7 @@ def minhash_lsh_dedup(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidate pairs.
 
@@ -144,6 +145,19 @@ def minhash_lsh_dedup(
     candidate pairs (a < b). The join key (band, signature) keeps all
     comparisons inside buckets — the cross join never materializes.
     Returns distinct (a_id, b_id) candidate pairs.
+
+    **Hot-bucket cap** (``max_bucket``): at web scale, degenerate band
+    signatures (empty/boilerplate documents sharing identical shingle
+    sets) produce buckets with millions of members, and a per-bucket
+    self-join goes quadratic on exactly those. Buckets larger than
+    ``max_bucket`` skip the self-join and instead emit **star pairs**
+    ``(bucket_min_id, member)`` — linear in bucket size, and
+    semantically sufficient: an over-cap bucket is a guaranteed
+    near-duplicate cluster, and the star keeps it one connected
+    component for the downstream union-find/grouping (the same
+    representative-based collapse :func:`exact_dedup` applies). The
+    bucket-size count and hub pick ride the same (band, band_sig)
+    shuffle the join needs anyway — no extra exchange.
     """
     rows_per_band = n_hashes // bands
     spark_parallelism = docs.sparkSession.sparkContext.defaultParallelism
@@ -174,17 +188,30 @@ def minhash_lsh_dedup(
             )
         ).alias("band", "band_sig"),
     )
-    left = banded.select(
-        F.col("doc").alias("a_id"), "band", "band_sig"
-    )
-    right = banded.select(F.col("doc").alias("b_id"), "band", "band_sig")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_sig")
+        counted = banded.withColumn("__c", F.count("*").over(w)).withColumn(
+            "__hub", F.min("doc").over(w)
+        )
+        small = counted.filter(F.col("__c") <= F.lit(max_bucket))
+        star = counted.filter(
+            (F.col("__c") > F.lit(max_bucket)) & (F.col("doc") != F.col("__hub"))
+        ).select(F.col("__hub").alias("a_id"), F.col("doc").alias("b_id"))
+    else:
+        small = banded
+        star = None
+    left = small.select(F.col("doc").alias("a_id"), "band", "band_sig")
+    right = small.select(F.col("doc").alias("b_id"), "band", "band_sig")
     pairs = (
         left.join(right, on=["band", "band_sig"], how="inner")
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
-        .distinct()
     )
-    return pairs
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def token_hashes_col(text: Column) -> Column:

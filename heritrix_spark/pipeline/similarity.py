@@ -110,11 +110,21 @@ def lsh_bucketed_topk(
     n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing an LSH
     bucket with the query in ANY of ``n_tables`` tables; exact cosine +
     rank within candidates. At 10^9 vectors the bucket join replaces the
-    full cross product with |bucket| × queries work."""
+    full cross product with |bucket| × queries work.
+
+    ``max_bucket`` bounds the corpus side of each (table, bucket): a
+    degenerate bucket (e.g. the all-zeros region, or too few planes for
+    the corpus size) is truncated to its first ``max_bucket`` members by
+    vector id — deterministic, and candidate scoring stays
+    O(queries × max_bucket × tables) instead of O(queries × bucket).
+    Recall within the truncated bucket degrades, which is the standard
+    LSH truncation tradeoff; raise ``n_planes``/``n_tables`` if over-cap
+    buckets are common."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
@@ -122,6 +132,13 @@ def lsh_bucketed_topk(
     cand = None
     for t in range(n_tables):
         cb = c.withColumn("bucket", lsh_bucket_col(F.col("c_vec"), dim, n_planes, t))
+        if max_bucket is not None:
+            wb = Window.partitionBy("bucket").orderBy(F.asc("neighbor_id"))
+            cb = (
+                cb.withColumn("__br", F.row_number().over(wb))
+                .filter(F.col("__br") <= F.lit(max_bucket))
+                .drop("__br")
+            )
         qb = q.withColumn("bucket", lsh_bucket_col(F.col("q_vec"), dim, n_planes, t))
         pairs = cb.join(F.broadcast(qb), on="bucket").drop("bucket")
         cand = pairs if cand is None else cand.unionByName(pairs)

@@ -2,12 +2,26 @@
 
 Checkpoint/resume protocol (analog of BdbFrontier.doCheckpoint /
 setRecoveryCheckpoint, heritrix3/engine/.../frontier/BdbFrontier.java:225-330):
-each round writes frontier + host_state (full) and url_seen + fetch_log
-+ lineage + metrics (delta) to the store, then commits the manifest
-with {round, now_ms, max_ordinal}. Because every round is a pure
-function of committed state, killing the process anywhere and rerunning
-``crawl()`` resumes from the last committed round and produces a
-bit-identical final state (tests/test_resume.py).
+each round writes host_state + future_uris (full — small per-host /
+per-seed tables) and frontier + frontier_tombstones + url_seen +
+fetch_log + lineage + metrics (delta — O(changed rows) per round),
+then commits the manifest with {round, now_ms, max_ordinal}. Because
+every round is a pure function of committed state, killing the process
+anywhere and rerunning ``crawl()`` resumes from the last committed
+round and produces a bit-identical final state (tests/test_resume.py).
+
+Frontier storage is merge-on-read (the Iceberg MERGE shape): per round
+only the rows that CHANGED are appended (novel, retries, un-emitted
+injected futures) plus (ordinal, delta_round) tombstones for the rows
+emitted — never a rewrite of all pending URIs, exactly as the
+reference's BdbMultipleWorkQueues mutates its B-tree in place
+(BdbMultipleWorkQueues.java:425-441). The live frontier is
+``deltas LEFT ANTI JOIN tombstones ON (ordinal, delta_round)``;
+every COMPACT_EVERY rounds the resolved view is rewritten as a single
+base delta and the tombstone list collapses (rewrite-data-files /
+expire-snapshots), so a crawl reads at most COMPACT_EVERY delta dirs.
+At a 10^10-row frontier this makes per-round write I/O O(delta), with
+the O(frontier) rewrite amortized 1/COMPACT_EVERY per round.
 
 Reading state back from parquet each round also truncates the logical
 plan — the iterative loop never builds an unbounded lineage chain.
@@ -25,6 +39,25 @@ from heritrix_spark.plans.round import run_round, schedule_seeds
 from heritrix_spark.store.snapstore import SnapStore
 
 
+# compaction cadence: resolved frontier rewritten as a single base delta
+# every N rounds (Iceberg rewrite-data-files); reads touch ≤ N delta dirs
+COMPACT_EVERY = 16
+
+TOMBSTONE_SCHEMA = "ordinal long, delta_round int"
+
+
+def live_frontier(store: SnapStore) -> DataFrame | None:
+    """Resolve the frontier's merge-on-read view: appended row versions
+    minus positional-delete tombstones, joined on (ordinal, delta_round)."""
+    deltas = store.read("frontier")
+    if deltas is None:
+        return None
+    tombs = store.read("frontier_tombstones")
+    if tombs is None:
+        return deltas
+    return deltas.join(tombs, on=["ordinal", "delta_round"], how="left_anti")
+
+
 @dataclass
 class CrawlResult:
     rounds: int
@@ -37,7 +70,7 @@ class CrawlResult:
         return self.store.read("url_seen")
 
     def frontier(self) -> DataFrame:
-        return self.store.read("frontier")
+        return live_frontier(self.store).drop("delta_round")
 
     def metrics(self) -> DataFrame:
         return self.store.read("metrics")
@@ -69,7 +102,7 @@ def crawl(
     manifest = store.manifest()
     if manifest is None:
         frontier, url_seen, host_state, max_ordinal = schedule_seeds(spark, seeds, cfg)
-        store.write_full(frontier, "frontier", 0)
+        store.write_delta(frontier, "frontier", 0)
         store.write_full(host_state, "host_state", 0)
         store.write_delta(url_seen, "url_seen", 0, partition_by=("shard",))
         store.write_delta(
@@ -122,7 +155,7 @@ def crawl(
         if stop_after_round is not None and round_no >= stop_after_round:
             break
         round_no += 1
-        frontier = store.read("frontier")
+        frontier = live_frontier(store)
         host_state = store.read("host_state")
         url_seen = store.read("url_seen")
         future_uris = store.read("future_uris")
@@ -143,7 +176,21 @@ def crawl(
         if result.done:
             round_no -= 1
             break
-        store.write_full(result.frontier, "frontier", round_no)
+        if round_no % COMPACT_EVERY == 0:
+            # periodic compaction: materialize the resolved view as the
+            # single base delta, drop all tombstones (atomic at commit)
+            store.write_delta(result.frontier, "frontier", round_no, reset=True)
+            store.write_delta(
+                spark.createDataFrame([], schema=TOMBSTONE_SCHEMA),
+                "frontier_tombstones",
+                round_no,
+                reset=True,
+            )
+        else:
+            store.write_delta(result.frontier_delta, "frontier", round_no)
+            store.write_delta(
+                result.emitted_ordinals, "frontier_tombstones", round_no
+            )
         store.write_full(result.host_state, "host_state", round_no)
         if result.future_uris is not None:
             store.write_full(result.future_uris, "future_uris", round_no)

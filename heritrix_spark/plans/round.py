@@ -113,6 +113,15 @@ class RoundResult:
     lineage: DataFrame | None = None
     metrics: dict | None = None
     future_uris: DataFrame | None = None
+    # delta-store protocol (O(delta) per-round writes — the Iceberg
+    # MERGE shape; the reference's BdbMultipleWorkQueues mutates its
+    # B-tree in place and never rewrites all pending URIs,
+    # heritrix3/engine/.../frontier/BdbMultipleWorkQueues.java:425-441):
+    # rows to APPEND to the frontier this round...
+    frontier_delta: DataFrame | None = None
+    # ...and the ordinals REMOVED this round (positional-delete analog);
+    # a reader resolves `live = deltas anti tombstones-newer-than-row`.
+    emitted_ordinals: DataFrame | None = None
 
 
 def schedule_seeds(
@@ -141,6 +150,9 @@ def schedule_seeds(
         F.lit(0).cast("int").alias("attempts"),
         F.lit(0).cast("int").alias("deferrals"),
         F.lit(0).cast("int").alias("recrawls"),
+        # round this row version was appended in — the positional-delete
+        # key half; see RoundResult.emitted_ordinals
+        F.lit(0).cast("int").alias("delta_round"),
     )
     url_seen = frontier.select(
         "canon_url", shard_col("canon_url", cfg.n_seen_shards).alias("shard")
@@ -224,9 +236,11 @@ def run_round(
     injected_futures = None
     futures_next = future_uris
     if have_futures and int(fut_row["t"]) <= now:
-        injected_futures = future_uris.filter(
-            F.col("reschedule_time") <= F.lit(now)
-        ).select(*FRONTIER_COLUMNS)
+        injected_futures = (
+            future_uris.filter(F.col("reschedule_time") <= F.lit(now))
+            .select(*FRONTIER_COLUMNS)
+            .withColumn("delta_round", F.lit(round_no).cast("int"))
+        )
         futures_next = future_uris.filter(F.col("reschedule_time") > F.lit(now))
         frontier = frontier.unionByName(injected_futures)
         # recompute eligibility for hosts that only have future rows
@@ -274,7 +288,8 @@ def run_round(
     #    min never reaches the non-ordering fields — deterministic.
     ready_hosts = ready.select("class_key", "robots_fetched")
     head_fields = [c for c in FRONTIER_COLUMNS if c != "class_key"] + [
-        "robots_fetched"
+        "delta_round",
+        "robots_fetched",
     ]
     order_first = ["directive", "precedence", "ordinal"]
     head_rest = [c for c in head_fields if c not in order_first]
@@ -468,13 +483,16 @@ def run_round(
         F.lit(0).cast("int").alias("attempts"),
         F.lit(0).cast("int").alias("deferrals"),
         F.lit(0).cast("int").alias("recrawls"),
+        F.lit(round_no).cast("int").alias("delta_round"),
     )
 
     # ---- frontier update: drop emitted, re-enqueue retries, add novel
     # (deferrals count separately from fetch attempts: the precondition
     # defer happens before any fetch — CrawlURI.incrementDeferrals vs
     # fetchAttempts, CrawlURI.java:173-174)
-    emitted_ordinals = fetched.select("ordinal")
+    # tombstones carry (ordinal, delta_round): each emitted row's exact
+    # stored version — the Iceberg positional-delete key
+    emitted_ordinals = fetched.select("ordinal", "delta_round")
     remaining = frontier.join(emitted_ordinals, on="ordinal", how="left_anti")
     retries = (
         fetched.filter(F.col("disposition") == "retry")
@@ -491,12 +509,21 @@ def run_round(
             ).otherwise(F.col("deferrals")),
         )
         .select(*FRONTIER_COLUMNS)
+        .withColumn("delta_round", F.lit(round_no).cast("int"))
     )
     frontier_next = (
-        remaining.select(*FRONTIER_COLUMNS)
+        remaining.select(*FRONTIER_COLUMNS, "delta_round")
         .unionByName(retries)
         .unionByName(novel_frontier)
     )
+    # delta protocol outputs: only rows that CHANGED this round. Injected
+    # futures that weren't emitted must be appended too — they came from
+    # the future_uris table, not the stored frontier deltas.
+    frontier_delta = retries.unionByName(novel_frontier)
+    if injected_futures is not None:
+        frontier_delta = frontier_delta.unionByName(
+            injected_futures.join(emitted_ordinals, on="ordinal", how="left_anti")
+        )
 
     # ---- future rescheduling (spec step 7: recrawl successful seeds)
     reschedulable = (
@@ -762,4 +789,6 @@ def run_round(
         lineage=lineage,
         metrics=metrics,
         future_uris=futures_next,
+        frontier_delta=frontier_delta,
+        emitted_ordinals=emitted_ordinals,
     )

@@ -17,12 +17,17 @@ commit protocol over plain parquet directories:
   round).
 
 Two table modes:
-- ``full``  — the round's directory holds the complete table (frontier,
-  host_state: tables that shrink/grow in place),
+- ``full``  — the round's directory holds the complete table
+  (host_state, future_uris: small per-host / per-seed tables),
 - ``delta`` — the table is the union of all committed rounds'
-  directories (url_seen, fetch_log, lineage, metrics: append-only —
-  at 10^10 scale the seen set is never rewritten, only appended,
-  mirroring the reference's insert-only BdbUriUniqFilter B-tree).
+  directories (frontier, frontier_tombstones, url_seen, fetch_log,
+  lineage, metrics: append-only — at 10^10 scale neither the seen set
+  nor the frontier is ever rewritten per round, only appended,
+  mirroring the reference's insert-only BdbUriUniqFilter B-tree and
+  in-place BdbMultipleWorkQueues mutation). The frontier's live view
+  is ``deltas LEFT ANTI JOIN tombstones ON (ordinal, delta_round)``
+  (Iceberg merge-on-read positional deletes); ``write_delta(...,
+  reset=True)`` is the periodic compaction (rewrite-data-files).
 
 Resume = read MANIFEST.json and continue from ``round + 1``
 (bit-identical: all round inputs are functions of committed state).
@@ -39,8 +44,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "MANIFEST.json"
 
-FULL_TABLES = ("frontier", "host_state")
-DELTA_TABLES = ("url_seen", "fetch_log", "lineage", "metrics")
+FULL_TABLES = ("host_state", "future_uris")
+DELTA_TABLES = (
+    "frontier",
+    "frontier_tombstones",
+    "url_seen",
+    "fetch_log",
+    "lineage",
+    "metrics",
+)
 
 
 class SnapStore:
@@ -67,9 +79,17 @@ class SnapStore:
         for t, mode in list(self._staged.items()):
             if mode == "full":
                 tables[t] = {"mode": "full", "round": round_no}
+            elif mode == "delta_reset":
+                tables[t] = {"mode": "delta", "rounds": [round_no]}
             else:
                 entry = tables.get(t, {"mode": "delta", "rounds": []})
-                rounds = [r for r in entry.get("rounds", []) if r < round_no]
+                if entry.get("mode") == "full":
+                    # delta on top of a full snapshot: the snapshot round
+                    # becomes the base delta (a compacted table IS its
+                    # only delta)
+                    rounds = [entry["round"]]
+                else:
+                    rounds = [r for r in entry.get("rounds", []) if r < round_no]
                 rounds.append(round_no)
                 tables[t] = {"mode": "delta", "rounds": rounds}
         manifest = {"round": round_no, "meta": meta, "tables": tables}
@@ -95,18 +115,24 @@ class SnapStore:
         table: str,
         round_no: int,
         partition_by: tuple[str, ...] = (),
+        reset: bool = False,
     ) -> None:
         """``partition_by`` (e.g. ``("shard",)`` for url_seen) is the
         plain-parquet analog of Iceberg ``bucket(canon_url)`` partitioning:
         readers joining on the partition column get file-level pruning,
         and at production scale the same layout enables storage-partitioned
-        joins (no seen-side shuffle)."""
+        joins (no seen-side shuffle).
+
+        ``reset=True`` marks this write as a compaction: on commit the
+        table's delta list collapses to just this round (the Iceberg
+        rewrite-data-files / expire-snapshots analog). Readers before the
+        commit still follow the old manifest — compaction is atomic."""
         path = self._dir(table, round_no)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
-        self._staged = {**self._staged, table: "delta"}
+        self._staged = {**self._staged, table: "delta_reset" if reset else "delta"}
 
     def read(self, table: str) -> DataFrame | None:
         """Read the committed state of a table (manifest-driven)."""
@@ -125,6 +151,8 @@ class SnapStore:
         # would fail schema inference. Iceberg subsumes all of this with
         # real snapshot/manifest reads at scale.
         paths = [p for p in paths if self._has_data_files(p)]
+        if not paths:
+            return None
         dfs = [self.spark.read.parquet(p) for p in paths]
         out = dfs[0]
         for d in dfs[1:]:

@@ -76,7 +76,6 @@ def start_candidate_ingest(
         novel = novel.persist()
         n_novel = novel.count()
 
-        frontier_prev = store.read("frontier")
         novel_frontier = novel.select(
             "url",
             "canon_url",
@@ -89,12 +88,10 @@ def start_candidate_ingest(
             F.lit(None).cast("string").alias("via"),
             F.lit(0).cast("int").alias("attempts"),
         )
-        frontier = (
-            frontier_prev.unionByName(novel_frontier)
-            if frontier_prev is not None
-            else novel_frontier
-        )
-        store.write_full(frontier, "frontier", round_no)
+        # append-only delta: a micro-batch writes only its novel rows
+        # (the frontier is never rewritten — same O(delta) protocol as
+        # the batch round loop)
+        store.write_delta(novel_frontier, "frontier", round_no)
         store.write_delta(
             novel.select(
                 "canon_url", shard_col("canon_url", cfg.n_seen_shards).alias("shard")

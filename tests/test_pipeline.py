@@ -133,3 +133,42 @@ def test_multimodal_fake_features(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         extract_features(media, fake=False).collect()
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """A degenerate corpus (thousands of identical docs -> one band
+    bucket) must not go quadratic: over-cap buckets emit linear star
+    pairs around the bucket min, keeping the cluster connected."""
+    n = 2000
+    rows = [(i, "boilerplate cookie banner text repeated everywhere") for i in range(n)]
+    rows.append((n, "some genuinely distinct document body with novel words"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_lsh_dedup(docs, max_bucket=64)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    # linear star, not quadratic: n-1 pairs for the hot cluster
+    assert got == {(0, i) for i in range(1, n)}
+
+    # under-cap corpora keep the exact pairwise behavior
+    small = spark.createDataFrame(rows[:5], ["doc_id", "text"])
+    got_small = {(r["a_id"], r["b_id"]) for r in minhash_lsh_dedup(small).collect()}
+    assert got_small == {(a, b) for a in range(5) for b in range(a + 1, 5)}
+
+
+def test_lsh_topk_bucket_truncation(spark):
+    """max_bucket bounds the per-bucket corpus side; results stay
+    deterministic and ranked."""
+    base = [float(i % 7 + 1) for i in range(8)]
+    rows = [(i, [x + (i * 0.001) for x in base]) for i in range(50)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(rows[:2], ["vec_id", "embedding"])
+    out = lsh_bucketed_topk(
+        corpus, queries, dim=8, k=3, max_bucket=10
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    # truncation: only the 10 lowest vec_ids per bucket are candidates
+    assert all(r["neighbor_id"] < 10 for r in out)

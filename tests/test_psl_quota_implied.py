@@ -1,4 +1,4 @@
-"""PSL-lite reduction / assignment-level keys, quotas, crawl limits,
+"""Full-PSL reduction / assignment-level keys, quotas, crawl limits,
 preloaded precedence, implied URIs, cross-domain rule."""
 
 from __future__ import annotations
@@ -29,6 +29,35 @@ REDUCE_CASES = [
     ("au,com,smh,www,", "au,com,smh,"),
     ("org,", "org,"),  # bare TLD: unreducible
     ("org,archive,www,#8080", "org,archive,"),
+    # goldens from the reference PublicSuffixesTest.java:37-95
+    ("com,example,www,", "com,example,"),
+    ("com,example,", "com,example,"),
+    ("fr,yahoo,www,", "fr,yahoo,"),
+    ("au,com,foobar,www,", "au,com,foobar,"),
+    ("au,com,foobar,", "au,com,foobar,"),
+    ("uk,co,virgin,www,", "uk,co,virgin,"),
+    ("uk,co,virgin,", "uk,co,virgin,"),
+    # *.tokyo.jp wildcard rule
+    ("jp,tokyo,public,assigned,www,", "jp,tokyo,public,assigned,"),
+    ("jp,tokyo,public,assigned,", "jp,tokyo,public,assigned,"),
+    # !metro.tokyo.jp exception rule
+    ("jp,tokyo,metro,subdomain,", "jp,tokyo,metro,"),
+    ("jp,tokyo,metro,", "jp,tokyo,metro,"),
+    ("uk,bl,www,", "uk,bl,"),  # !bl.uk exception
+    ("uk,bl,", "uk,bl,"),
+    ("de,bad-site,www", "de,bad-site,"),  # testDomainWithDash
+    ("de,archive4u,www", "de,archive4u,"),  # testDomainWithNumbers
+    ("1.2.3.4", "1.2.3.4"),  # testIPV4: no match -> unchanged
+    (
+        "[2001:0db8:85a3:08d3:1319:8a2e:0370:7344]",
+        "[2001:0db8:85a3:08d3:1319:8a2e:0370:7344]",
+    ),  # testIPV6
+    ("zzz,example,www,", "zzz,example,"),  # testFakeTLD: unknown TLD -> 2-level
+    ("example", "example"),  # testUnsegmentedHostname: regex find() fails
+    # backtracking: wildcard/exact rule can't consume its +1 label ->
+    # next shorter rule applies / input unchanged
+    ("jp,tokyo,public,", "jp,tokyo,"),
+    ("uk,co", "uk,co"),
 ]
 
 

@@ -52,6 +52,8 @@ def main() -> None:
         head = run_schedule_dedup_bench(spark, n, tmp)
     queries["frontier_schedule_dedup"] = round(head["elapsed_sec"], 3)
     total += head["elapsed_sec"]
+    queries["frontier_schedule_dedup_bloom"] = round(head["elapsed_bloom_sec"], 3)
+    total += head["elapsed_bloom_sec"]
 
     # registry queries at the given sf
     for name in sorted(QUERIES):
@@ -72,6 +74,7 @@ def main() -> None:
         "sf": sf,
         "frontier_candidates": n,
         "urls_scheduled_deduped_per_sec": round(head["urls_per_sec"], 1),
+        "urls_scheduled_deduped_per_sec_bloom": round(head["urls_per_sec_bloom"], 1),
         "cores": cpus,
     }
     print(json.dumps(out))

@@ -81,6 +81,8 @@ def schedule_dedup_pipeline(
     url_seen: DataFrame,
     max_ordinal: int = 0,
     lead_bound: int | None = None,
+    seen_blooms: DataFrame | None = None,
+    bloom_bits: int = 0,
 ) -> DataFrame:
     """The measured job: prepare → collapse dups → anti-join seen →
     deterministic ordinals. Identical operator chain to plans/round.py
@@ -112,7 +114,14 @@ def schedule_dedup_pipeline(
     uniq = collapse_batch_duplicates(
         cands, key="canon_url", order_cols=("parent_ordinal", "link_seq")
     )
-    novel = dedup_candidates(uniq, url_seen, n_shards=64)
+    if seen_blooms is not None and bloom_bits > 0:
+        from heritrix_spark.operators.bloomseen import dedup_candidates_bloom
+
+        novel = dedup_candidates_bloom(
+            uniq, url_seen, seen_blooms, n_shards=64, bits=bloom_bits
+        )
+    else:
+        novel = dedup_candidates(uniq, url_seen, n_shards=64)
     numbered, _ = assign_ordinals(
         novel,
         ["parent_ordinal", "link_seq", "canon_url"],
@@ -155,8 +164,30 @@ def run_schedule_dedup_bench(
     result.write.format("noop").mode("overwrite").save()
     elapsed = time.monotonic() - t0
     spark.catalog.clearCache()
+
+    # bloom-prefilter variant (operators/bloomseen.py): same pipeline,
+    # same ~25% pre-seen hit rate, bloom sidecar built from the seen set
+    # beforehand (production appends bloom deltas at write time — build
+    # cost amortizes across rounds, so it's excluded from the round time)
+    from heritrix_spark.operators.bloomseen import DEFAULT_BITS, bloom_delta
+
+    bloom_path = f"{workdir}/url_seen_bloom"
+    bloom_delta(url_seen, bits=DEFAULT_BITS).write.mode("overwrite").parquet(
+        bloom_path
+    )
+    blooms = spark.read.parquet(bloom_path)
+    t0 = time.monotonic()
+    result_b = schedule_dedup_pipeline(
+        candidates, url_seen, lead_bound=n,
+        seen_blooms=blooms, bloom_bits=DEFAULT_BITS,
+    )
+    result_b.write.format("noop").mode("overwrite").save()
+    elapsed_bloom = time.monotonic() - t0
+    spark.catalog.clearCache()
     return {
         "n_candidates": n,
         "elapsed_sec": elapsed,
         "urls_per_sec": n / elapsed,
+        "elapsed_bloom_sec": elapsed_bloom,
+        "urls_per_sec_bloom": n / elapsed_bloom,
     }

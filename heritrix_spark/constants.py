@@ -134,6 +134,15 @@ class PolitenessConfig:
     # the host's robots directives gate fetches. The robots URI itself is
     # exempt from robots preclusion and from outlink extraction.
     robots_prereq: bool = False
+    # Bloom-sidecar prefilter for the URL-seen set (operators/bloomseen.py;
+    # BloomUriUniqFilter analog, but accuracy-preserving — the exact
+    # anti-join stays authoritative). > 0 = bits per shard bloom (power
+    # of two); 0 = off. When on, the crawl loop maintains an append-only
+    # "url_seen_bloom" table and each round's candidate dedup probes it
+    # first: definite misses skip the exact join, and seen shards with
+    # zero hits are pruned from the seen-side scan. Membership is
+    # bit-identical either way (tests/test_bloomseen.py, e2e test).
+    seen_bloom_bits: int = 0
     # Test knob: when true, ~1/7 of existing docs (md5-selected) fail
     # their first fetch attempt with S_CONNECT_FAILED and succeed on
     # retry — exercises needsReenqueuing/retryDelay semantics

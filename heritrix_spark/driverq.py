@@ -1334,3 +1334,290 @@ def q_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.sha2(F.col("text"), 256), 1, 40)
         ).alias("digest_b32"),
     ).orderBy("doc_id")
+
+
+# -------------------------------------------------- 31. scope-rule fold decisions
+
+# Derived URL/hops mixture exercising every rule of the default scope
+# chain (DecideRuleSequence.java:78-95 last-non-NONE-wins fold):
+# out-of-set schemes, non-authority URIs, pathological repeats (marked
+# with a literal '/x/x/x/' so the DuckDB twin needs no backrefs),
+# 25-segment-deep paths, and hops mixes covering transclusion's
+# R-doesn't-count / X-capped semantics plus the overflow-count form.
+SCOPE_URL_DERIVATION = """
+  case when doc_id % 13 = 0 then 'gopher://host1.example/a.html'
+       when doc_id % 13 = 1 then 'mailto:crawler@example.org'
+       when doc_id % 31 = 0 then
+         'http://host' || cast(doc_id % 40 as string) || '.example/x/x/x/page.html'
+       when doc_id % 29 = 0 then
+         'http://host' || cast(doc_id % 40 as string) || '.example' || repeat('/s', 25) || '/p.html'
+       else 'http://host' || cast(doc_id % 40 as string) || '.example/p/page' || cast(doc_id % 13 as string) || '.html'
+  end
+""".strip()
+
+SCOPE_HOPS_DERIVATION = """
+  case cast(doc_id % 8 as int)
+       when 0 then ''
+       when 1 then 'LLL'
+       when 2 then 'LLE'
+       when 3 then 'LLRRE'
+       when 4 then 'LXX'
+       when 5 then 'LLEEE'
+       when 6 then 'LLP'
+       else '25+' || repeat('L', 49)
+  end
+""".strip()
+
+_SCOPE_PREFIXES = [
+    "http://(example,host1",
+    "http://(example,host2",
+    "http://(example,host3",
+]
+
+
+def _scope_oracle() -> str:
+    surt = surt_sql("url")
+    prefix_pred = " or ".join(
+        f"starts_with({surt}, '{p}')" for p in _SCOPE_PREFIXES
+    )
+    tail = "regexp_extract(hops, '^(?:[0-9]+\\+)?(.*)$', 1)"
+    trailing = f"regexp_extract({tail}, '([^L]*)$', 1)"
+    hopn = (
+        "cast(coalesce(nullif(regexp_extract(hops, '^([0-9]+)\\+', 1), ''), '0') as int)"
+        f" + length({tail})"
+    )
+    nonref = f"length(replace({trailing}, 'R', ''))"
+    spec = f"(length({trailing}) - length(replace({trailing}, 'X', '')))"
+    pathpart = "regexp_replace(url, '^[a-z]+://[^/]*', '')"
+    segs = f"(length({pathpart}) - length(replace({pathpart}, '/', '')))"
+    scheme = "lower(regexp_extract(url, '^([a-zA-Z0-9]+):', 1))"
+    return f"""
+    with u as (select doc_id, {SCOPE_URL_DERIVATION} as url,
+                      {SCOPE_HOPS_DERIVATION} as hops from documents),
+    folded as (
+      select doc_id,
+        case
+          when {scheme} not in ('http', 'https', 'ftp') then false
+          when {tail} like '%P' then true
+          when {segs} > 20 then false
+          when url like '%/x/x/x/%' then false
+          when length({trailing}) > 0 and {spec} <= 1 and {nonref} <= 2 then true
+          when {hopn} > 20 then false
+          when {prefix_pred} then true
+          else false
+        end as in_scope
+      from u)
+    select cast(doc_id as bigint) as doc_id, in_scope
+    from folded order by doc_id
+    """
+
+
+@register("scope_decisions", _scope_oracle())
+def q_scope_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecideRuleSequence fold over the default scope chain
+    (DecideRuleSequence.java:78-95; rules per operators/scope.py). The
+    oracle expresses the same fold as a reversed-priority CASE (the
+    last-written rule is the first CASE arm)."""
+    from heritrix_spark.operators.scope import default_scope
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    u = spark.sql(
+        f"select doc_id, {SCOPE_URL_DERIVATION} as url, "
+        f"{SCOPE_HOPS_DERIVATION} as hops from documents"
+    )
+    return u.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        default_scope(F.col("url"), F.col("hops"), _SCOPE_PREFIXES).alias(
+            "in_scope"
+        ),
+    ).orderBy("doc_id")
+
+
+# -------------------------------------------------- 32. recover-journal import
+
+_JOURNAL_LINES = """
+  select (case cast(doc_id % 5 as int)
+          when 0 then 'F+' when 1 then 'F+' when 2 then 'Fs'
+          when 3 then 'Ff' else 'Fe' end)
+         || ' http://host' || cast(doc_id % 40 as string)
+         || '.example/p' || cast(doc_id % 211 as string) || '.html' as line
+  from documents
+""".strip()
+
+
+@register(
+    "journal_import",
+    f"""
+    with j as ({_JOURNAL_LINES}),
+    parsed as (select regexp_extract(line, '^(\\S+) ', 1) as tag,
+                      regexp_extract(line, '^\\S+ (\\S+)', 1) as canon_url
+               from j),
+    added as (select distinct canon_url from parsed where tag = 'F+'),
+    finished as (select distinct canon_url from parsed
+                 where tag in ('Fs', 'Ff', 'Fd'))
+    select canon_url from added
+    where canon_url not in (select canon_url from finished)
+    order by canon_url
+    """,
+)
+def q_journal_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recover-log replay (FrontierJournal.importRecoverLog :166+,
+    AbstractFrontier.importRecoverFormat :894-952): F+ URIs re-schedule
+    unless already finished (Fs/Ff/Fd)."""
+    from heritrix_spark.operators.journal import (
+        import_recover_log,
+        parse_recover_log,
+    )
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    lines = spark.sql(_JOURNAL_LINES)
+    journal = parse_recover_log(spark, lines)
+    to_schedule, _ = import_recover_log(journal)
+    return to_schedule.orderBy("canon_url")
+
+
+# -------------------------------------------------- 33. salted per-host counts
+
+_CK_DERIVATION = (
+    "'example,host' || cast(doc_id % 40 as string) || ',' "
+)
+
+
+@register(
+    "salted_counts",
+    f"""
+    select {_CK_DERIVATION} as class_key,
+           cast(count(*) as bigint) as n_urls
+    from documents group by 1 order by class_key
+    """,
+)
+def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-host salted sub-queueing (parallelQueues analog,
+    URIAuthorityBasedQueueAssignmentPolicy.getSubqueue): per-host counts
+    via salted partials + desalted combine MUST equal the plain
+    group-by — the oracle is that plain group-by, so any salt/desalt
+    asymmetry fails the row hash."""
+    from heritrix_spark.operators.salt import salted_counts
+
+    u = _docs_urls(spark, sf_dir).withColumn(
+        "class_key", F.expr(_CK_DERIVATION)
+    )
+    return salted_counts(u).orderBy("class_key")
+
+
+# -------------------------------------------------- 34. quota enforcement
+
+@register(
+    "host_quotas",
+    f"""
+    with stats as (
+      select {_CK_DERIVATION} as class_key,
+             cast(sum(case when doc_id % 9 not in (0,2,3) then 1 else 0 end)
+                  as bigint) as succeeded,
+             cast(sum(case when doc_id % 9 not in (0,2,3) then n_chars
+                  else 0 end) as bigint) as success_bytes
+      from documents group by 1)
+    select class_key, succeeded from stats
+    where succeeded < 120 and success_bytes / 1024 < 900
+    order by class_key
+    """,
+)
+def q_host_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuotaEnforcer (QuotaEnforcer.java:55-95): hosts over a success or
+    novel-KB quota stop emitting; the query returns the still-eligible
+    hosts with their success counts."""
+    from heritrix_spark.operators.quota import Quotas, apply_quotas
+
+    u = _docs_urls(spark, sf_dir).withColumn(
+        "class_key", F.expr(_CK_DERIVATION)
+    )
+    is_succ = (F.col("fetch_status") > 0).cast("long")
+    stats = u.groupBy("class_key").agg(
+        F.sum(is_succ).alias("succeeded"),
+        F.sum(F.when(F.col("fetch_status") > 0, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("success_bytes"),
+    )
+    ready = stats.select("class_key")
+    within = apply_quotas(
+        ready,
+        stats,
+        Quotas(max_successes_per_host=120, max_success_kb_per_host=900),
+    )
+    return (
+        within.join(stats.select("class_key", "succeeded"), on="class_key")
+        .select("class_key", F.col("succeeded").cast("long"))
+        .orderBy("class_key")
+    )
+
+
+# -------------------------------------------------- 35. congestion ratio
+
+_HOST_STATE_DERIVATION = f"""
+  select class_key,
+         cast((hid % 7) * 500 as bigint) as wake_time,
+         hid % 13 = 0 as retired
+  from (select distinct {_CK_DERIVATION} as class_key,
+               cast(doc_id % 40 as int) as hid from documents)
+""".strip()
+
+
+@register(
+    "congestion_report",
+    f"""
+    with hs as ({_HOST_STATE_DERIVATION}),
+    nonempty as (select distinct {_CK_DERIVATION} as class_key from documents),
+    j as (select h.wake_time from nonempty n
+          join hs h on h.class_key = n.class_key
+          where not h.retired)
+    select cast(count(*) as bigint) as nonempty_queues,
+           cast(sum(case when wake_time <= 1500 then 1 else 0 end) as bigint)
+             as ready_queues,
+           count(*) / greatest(sum(case when wake_time <= 1500 then 1 else 0 end), 1)
+             as congestion_ratio
+    from j
+    """,
+)
+def q_congestion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """congestionRatio (WorkQueueFrontier.java:1564-1574): queues wanting
+    attention per queue getting it, from derived frontier + host_state."""
+    from heritrix_spark.operators.reports import congestion_ratio
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    frontier = spark.sql(
+        f"select {_CK_DERIVATION} as class_key, doc_id as ordinal from documents"
+    )
+    host_state = spark.sql(_HOST_STATE_DERIVATION)
+    return congestion_ratio(frontier, host_state, 1500)
+
+
+# -------------------------------------------------- 36. queue depth report
+
+@register(
+    "queue_depths",
+    f"""
+    with d as (select {_CK_DERIVATION} as class_key, count(*) as c
+               from documents group by 1)
+    select avg(c) as average_depth,
+           cast(max(c) as bigint) as deepest,
+           cast(count(*) as bigint) as n_queues
+    from d
+    """,
+)
+def q_queue_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """averageDepth / deepestUri (WorkQueueFrontier :1547-1575)."""
+    from heritrix_spark.operators.reports import average_queue_depth
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    frontier = spark.sql(
+        f"select {_CK_DERIVATION} as class_key, doc_id as ordinal from documents"
+    )
+    return average_queue_depth(frontier)

@@ -108,12 +108,29 @@ def generate(
             n_spans = rng.randrange(2, 8)
             spans = []
             for off in range(n_spans):
-                if rng.random() < 0.3:
+                r_kind = rng.random()
+                if r_kind < 0.3:
                     spans.append(
                         {
                             "kind": "media",
                             "text": None,
                             "media_ref": f"http://{rng.choice(host_names)}/img{rng.randrange(40)}.png",
+                            "offset": off,
+                        }
+                    )
+                elif r_kind < 0.42:
+                    # script span: URLs inside script text are speculative
+                    # 'X' links (ExtractorHTML speculative extraction,
+                    # Hop.SPECULATIVE, Hop.java:41-44)
+                    spans.append(
+                        {
+                            "kind": "script",
+                            "text": "var u = "
+                            + " ; ".join(
+                                messy(pick_target(h))
+                                for _ in range(rng.randrange(1, 3))
+                            ),
+                            "media_ref": None,
                             "offset": off,
                         }
                     )

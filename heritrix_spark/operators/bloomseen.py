@@ -115,6 +115,7 @@ def bloom_prefilter(
     key: str = "canon_url",
     shard: str = "shard",
     bits: int = DEFAULT_BITS,
+    persist_probe: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Split candidates into (certain_novel, maybe_seen).
 
@@ -156,6 +157,12 @@ def bloom_prefilter(
         on=shard,
         how="left",
     ).withColumn("__hit", hit)
+    if persist_probe:
+        # the probe output fans out to several consumers (novel branch,
+        # exact-join branch, hit-shard census) — persist so the upstream
+        # candidate-prep pipeline runs exactly once per batch, the same
+        # once-per-round materialization the crawl loop gives `novel`
+        probed = probed.persist()
     certain_novel = probed.filter(~F.col("__hit")).select(*cols)
     maybe_seen = probed.filter(F.col("__hit")).select(*cols)
     return certain_novel, maybe_seen
@@ -186,7 +193,7 @@ def dedup_candidates_bloom(
         forced = None
         unforced = candidates
     certain_novel, maybe_seen = bloom_prefilter(
-        unforced, blooms, key=key, bits=bits
+        unforced, blooms, key=key, bits=bits, persist_probe=True
     )
     # seen-side shard pruning: only shards with ≥1 bloom hit can matter.
     # The hit-shard list is bounded by n_shards (a per-shard boolean,

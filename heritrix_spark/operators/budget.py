@@ -123,3 +123,15 @@ def expenditure_py(
     if disposition == "retry" and fetch_status != S_DEFERRED:
         return cost
     return 0
+
+
+def reconsider_retired_queues(host_state):
+    """WorkQueueFrontier.reconsiderRetiredQueues (:525-545): when
+    retirement-determining settings change (a raised total budget, a
+    lifted force-retire overlay), un-retire EVERY retired queue back to
+    inactive. A queue that still qualifies as over-budget is re-retired
+    the next time it comes up (run_round re-applies the budget rule each
+    round), so clearing the flag is sufficient and safe."""
+    from pyspark.sql import functions as F
+
+    return host_state.withColumn("retired", F.lit(False))

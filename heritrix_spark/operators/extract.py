@@ -76,6 +76,13 @@ def extract_outlinks(
         F.regexp_extract_all(F.col("span.text"), F.lit(URL_IN_TEXT_PATTERN), 0),
         lambda u: F.struct(u.alias("target"), F.lit("L").alias("hop_char")),
     )
+    # kind='script': URLs found in script content are SPECULATIVE ('X')
+    # links (ExtractorHTML.processScript / considerStrings speculative
+    # extraction; Hop.SPECULATIVE, Hop.java:41-44)
+    script_links = F.transform(
+        F.regexp_extract_all(F.col("span.text"), F.lit(URL_IN_TEXT_PATTERN), 0),
+        lambda u: F.struct(u.alias("target"), F.lit("X").alias("hop_char")),
+    )
     media_links = F.when(
         F.col("span.media_ref").isNotNull() & (F.col("span.media_ref") != ""),
         F.array(
@@ -101,6 +108,7 @@ def extract_outlinks(
     span_links = spans.withColumn(
         "links",
         F.when(F.col("span.kind") == "text", text_links)
+        .when(F.col("span.kind") == "script", script_links)
         .when(F.col("span.kind") == "redirect", redirect_links)
         .otherwise(media_links),
     )

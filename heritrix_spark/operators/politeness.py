@@ -80,11 +80,35 @@ def politeness_delay_col(
     fetch_duration_ms: Column,
     crawl_delay_s: Column,
     cfg: PolitenessConfig = PolitenessConfig(),
+    delay_factor: Column | None = None,
+    min_delay_ms: Column | None = None,
+    max_delay_ms: Column | None = None,
 ) -> Column:
-    """politenessDelayFor (DispositionProcessor.java:231-294) as one expr."""
-    d = (F.lit(cfg.delay_factor) * fetch_duration_ms).cast("long")
-    d = F.greatest(d, F.lit(cfg.min_delay_ms))
-    d = F.least(d, F.lit(cfg.max_delay_ms))
+    """politenessDelayFor (DispositionProcessor.java:231-294) as one expr.
+
+    The optional ``delay_factor``/``min_delay_ms``/``max_delay_ms``
+    columns are per-host sheet overlays (KeyedProperties analog —
+    commons/.../spring/ overlays, profile-crawler-beans.cxml:218-383):
+    null falls back to the global cfg value, exactly like an absent
+    overlay falling through to the containing sheet."""
+    factor = (
+        F.coalesce(delay_factor, F.lit(float(cfg.delay_factor)))
+        if delay_factor is not None
+        else F.lit(float(cfg.delay_factor))
+    )
+    lo = (
+        F.coalesce(min_delay_ms, F.lit(cfg.min_delay_ms))
+        if min_delay_ms is not None
+        else F.lit(cfg.min_delay_ms)
+    )
+    hi = (
+        F.coalesce(max_delay_ms, F.lit(cfg.max_delay_ms))
+        if max_delay_ms is not None
+        else F.lit(cfg.max_delay_ms)
+    )
+    d = (factor * fetch_duration_ms).cast("long")
+    d = F.greatest(d, lo.cast("long"))
+    d = F.least(d, hi.cast("long"))
     respect = F.lit(cfg.respect_crawl_delay_up_to_s * 1000).cast("long")
     cd_ms = F.when(crawl_delay_s > 0, (crawl_delay_s * 1000).cast("long")).otherwise(
         F.lit(0).cast("long")

@@ -93,11 +93,26 @@ def too_many_hops_predicate(hops_path: Column, max_hops: int) -> Column:
     return hop_count_col(hops_path) > F.lit(max_hops)
 
 
-def transclusion_predicate(hops_path: Column, max_trans_hops: int = 2) -> Column:
-    """TransclusionDecideRule: non-navlink trailing hops within limit →
-    ACCEPT (lets embeds ride along past the link scope)."""
-    th = trans_hops_col(hops_path)
-    return (th > 0) & (th <= F.lit(max_trans_hops))
+def transclusion_predicate(
+    hops_path: Column, max_trans_hops: int = 2, max_speculative_hops: int = 1
+) -> Column:
+    """TransclusionDecideRule (TransclusionDecideRule.java:96-142): walk
+    the trailing run of non-'L' hops; ACCEPT iff the run is non-empty,
+    its speculative ('X') hops are ≤ max_speculative_hops, and its
+    non-refer (≠'R') hops are ≤ max_trans_hops — redirects ride along
+    free, script-speculation is tightly bounded."""
+    from heritrix_spark.functions.hops import _tail
+
+    col = F.col(hops_path) if isinstance(hops_path, str) else hops_path
+    trailing = F.regexp_extract(_tail(col), r"([^L]*)$", 1)
+    all_count = F.length(trailing)
+    nonref = F.length(F.translate(trailing, "R", ""))
+    spec = all_count - F.length(F.translate(trailing, "X", ""))
+    return (
+        (all_count > 0)
+        & (spec <= F.lit(max_speculative_hops))
+        & (nonref <= F.lit(max_trans_hops))
+    )
 
 
 def pathological_path_predicate(url: Column, repetitions: int = 2) -> Column:

@@ -226,9 +226,15 @@ def _in_scope(
         decision = True
     if hop_count_py(hops_path) > cfg.max_hops:
         decision = False
-    th = trans_hops_py(hops_path)
-    if 0 < th <= 2:
-        decision = True
+    # TransclusionDecideRule.java:96-142: trailing non-'L' run with 'R'
+    # not counted against max_trans (2) and 'X' capped at 1
+    _, tail = re.match(r"^(?:(\d+)\+)?(.*)$", hops_path).groups()
+    trailing = re.search(r"([^L]*)$", tail).group(1)
+    if trailing:
+        nonref = sum(1 for c in trailing if c != "R")
+        spec = trailing.count("X")
+        if spec <= 1 and nonref <= 2:
+            decision = True
     if re.match(r"^[^?]*?/(.+?/)\1{2,}", url):
         decision = False
     path_part = re.sub(r"^\w+://[^/]*", "", url)
@@ -248,9 +254,25 @@ def simulate(
     robots: dict[str, dict],
     cfg: PolitenessConfig = PolitenessConfig(),
     max_rounds: int = 10_000,
+    host_config: dict[str, dict] | None = None,
 ) -> SimResult:
     res = SimResult()
     prefixes = seed_scope_prefixes([s["url"] for s in seeds])
+
+    # per-host sheet overlays (KeyedProperties analog): effective config
+    # = global cfg with the host's overrides applied (plans/round.py
+    # OVERLAY_COLS — delay/budget fields only)
+    from dataclasses import replace as _replace
+
+    _eff_cache: dict[str, PolitenessConfig] = {}
+
+    def eff(ck: str) -> PolitenessConfig:
+        if not host_config:
+            return cfg
+        if ck not in _eff_cache:
+            ov = host_config.get(ck)
+            _eff_cache[ck] = _replace(cfg, **ov) if ov else cfg
+        return _eff_cache[ck]
 
     # --- step 0: seeds
     queues: dict[str, list[PendingUri]] = {}
@@ -375,6 +397,11 @@ def simulate(
                         found = _URL_RE.findall(sp["text"] or "")
                         for j, u in enumerate(found):
                             links.append((span_pos * (1 << 20) + j, u, "L"))
+                    elif sp["kind"] == "script":
+                        # speculative 'X' links from script content
+                        found = _URL_RE.findall(sp["text"] or "")
+                        for j, u in enumerate(found):
+                            links.append((span_pos * (1 << 20) + j, u, "X"))
                     elif sp["kind"] == "redirect":
                         if sp["media_ref"]:
                             links.append((span_pos * (1 << 20), sp["media_ref"], "R"))
@@ -411,7 +438,7 @@ def simulate(
             spent = expenditure_py(disposition, uri.cost, status, cfg)
             host.total_expenditure += spent
             host.session_spent += spent
-            if host.session_spent > cfg.session_budget:
+            if host.session_spent > eff(ck).session_budget:
                 # over session budget → deactivate: replenish and go to
                 # the back of the activation line (WorkQueue
                 # .isOverSessionBudget :260-264, deactivateQueue :628-634)
@@ -420,7 +447,7 @@ def simulate(
             if disposition == "success":
                 host.succeeded += 1
             if disposition in ("success", "failure"):
-                delay = politeness_delay_py(duration, crawl_delay, cfg)
+                delay = politeness_delay_py(duration, crawl_delay, eff(ck))
             elif disposition == "retry":
                 # retryDelayFor :836-841: S_DEFERRED does not snooze
                 delay = 0 if status == S_DEFERRED else cfg.retry_delay_s * 1000
@@ -438,7 +465,8 @@ def simulate(
             host.wake_time = now + wake_delay
             if cfg.robots_prereq and is_robots_uri and status != S_DEFERRED:
                 host.robots_fetched = now  # CrawlServer.updateRobots :138
-            if cfg.total_budget >= 0 and host.total_expenditure > cfg.total_budget:
+            _tb = eff(ck).total_budget
+            if _tb >= 0 and host.total_expenditure > _tb:
                 host.retired = True
             if disposition == "retry":
                 # re-enqueue in place: same ordinal; deferrals count

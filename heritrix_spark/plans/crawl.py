@@ -3,25 +3,28 @@
 Checkpoint/resume protocol (analog of BdbFrontier.doCheckpoint /
 setRecoveryCheckpoint, heritrix3/engine/.../frontier/BdbFrontier.java:225-330):
 each round writes host_state + future_uris (full — small per-host /
-per-seed tables) and frontier + frontier_tombstones + url_seen +
-fetch_log + lineage + metrics (delta — O(changed rows) per round),
-then commits the manifest with {round, now_ms, max_ordinal}. Because
+per-seed tables) and frontier + url_seen + fetch_log + lineage
+(delta — O(changed rows) per round; per-round metrics ride the
+manifest itself), then commits the manifest with {round, now_ms,
+max_ordinal, metrics_log}. Because
 every round is a pure function of committed state, killing the process
 anywhere and rerunning ``crawl()`` resumes from the last committed
 round and produces a bit-identical final state (tests/test_resume.py).
 
 Frontier storage is merge-on-read (the Iceberg MERGE shape): per round
 only the rows that CHANGED are appended (novel, retries, un-emitted
-injected futures) plus (ordinal, delta_round) tombstones for the rows
-emitted — never a rewrite of all pending URIs, exactly as the
-reference's BdbMultipleWorkQueues mutates its B-tree in place
-(BdbMultipleWorkQueues.java:425-441). The live frontier is
-``deltas LEFT ANTI JOIN tombstones ON (ordinal, delta_round)``;
+injected futures) plus (ordinal, delta_round) tombstone rows (flagged
+in-table) for the rows emitted — never a rewrite of all pending URIs,
+exactly as the reference's BdbMultipleWorkQueues mutates its B-tree in
+place (BdbMultipleWorkQueues.java:425-441). The live frontier is
+``rows LEFT ANTI JOIN tombstones ON (ordinal, delta_round)``;
 every COMPACT_EVERY rounds the resolved view is rewritten as a single
-base delta and the tombstone list collapses (rewrite-data-files /
+base delta and the tombstones collapse away (rewrite-data-files /
 expire-snapshots), so a crawl reads at most COMPACT_EVERY delta dirs.
 At a 10^10-row frontier this makes per-round write I/O O(delta), with
-the O(frontier) rewrite amortized 1/COMPACT_EVERY per round.
+the O(frontier) rewrite amortized 1/COMPACT_EVERY per round. A round's
+independent write jobs are submitted concurrently (wall time =
+max(write), not sum — job-scheduling overhead dominates small rounds).
 
 Reading state back from parquet each round also truncates the logical
 plan — the iterative loop never builds an unbounded lineage chain.
@@ -43,19 +46,24 @@ from heritrix_spark.store.snapstore import SnapStore
 # every N rounds (Iceberg rewrite-data-files); reads touch ≤ N delta dirs
 COMPACT_EVERY = 16
 
-TOMBSTONE_SCHEMA = "ordinal long, delta_round int"
-
 
 def live_frontier(store: SnapStore) -> DataFrame | None:
     """Resolve the frontier's merge-on-read view: appended row versions
-    minus positional-delete tombstones, joined on (ordinal, delta_round)."""
+    minus positional-delete tombstones, joined on (ordinal, delta_round).
+
+    Tombstones live in the same delta table flagged ``tombstone=true``
+    (equivalent to a separate delete-file table, but one write job per
+    round instead of two — per-round job count is the fixture-scale
+    bottleneck and a real cost at any scale)."""
     deltas = store.read("frontier")
     if deltas is None:
         return None
-    tombs = store.read("frontier_tombstones")
-    if tombs is None:
-        return deltas
-    return deltas.join(tombs, on=["ordinal", "delta_round"], how="left_anti")
+    tombs = deltas.filter(F.col("tombstone")).select("ordinal", "delta_round")
+    return (
+        deltas.filter(~F.col("tombstone"))
+        .join(tombs, on=["ordinal", "delta_round"], how="left_anti")
+        .drop("tombstone")
+    )
 
 
 @dataclass
@@ -73,7 +81,11 @@ class CrawlResult:
         return live_frontier(self.store).drop("delta_round")
 
     def metrics(self) -> DataFrame:
-        return self.store.read("metrics")
+        """Per-round counters. Stored in the manifest (snapshot-summary
+        analog — one dict per round), not as a parquet table: a 1-row
+        write job per round costs more scheduling than the data."""
+        log = (self.store.manifest() or {}).get("meta", {}).get("metrics_log", [])
+        return self.store.spark.createDataFrame(log)
 
 
 def seed_scope_prefixes_spark(seeds: DataFrame) -> list[str]:
@@ -93,18 +105,44 @@ def crawl(
     cfg: PolitenessConfig = PolitenessConfig(),
     max_rounds: int = 10_000,
     stop_after_round: int | None = None,
+    reconsider_retired: bool = False,
+    host_config: DataFrame | None = None,
 ) -> CrawlResult:
     """Run (or resume) a crawl to completion. ``stop_after_round`` kills
-    the loop early — used by the resume tests."""
+    the loop early — used by the resume tests. ``reconsider_retired``
+    un-retires every retired queue once at (re)start — the operator
+    action for changed budgets (WorkQueueFrontier.reconsiderRetiredQueues
+    :525-545); still-over-budget queues re-retire on their next round."""
     store = SnapStore(store_root, spark)
     prefixes = seed_scope_prefixes_spark(seeds)
 
     manifest = store.manifest()
+    if reconsider_retired and manifest is not None:
+        from heritrix_spark.operators.budget import reconsider_retired_queues
+
+        # localCheckpoint materializes the updated table before the
+        # overwrite — the source and destination are the same round dir
+        host_state = reconsider_retired_queues(
+            store.read("host_state")
+        ).localCheckpoint(eager=True)
+        round_no0 = manifest["round"]
+        store.write_full(host_state, "host_state", round_no0)
+        store.commit_round(round_no0, manifest["meta"])
     if manifest is None:
         frontier, url_seen, host_state, max_ordinal = schedule_seeds(spark, seeds, cfg)
-        store.write_delta(frontier, "frontier", 0)
+        store.write_delta(
+            frontier.withColumn("tombstone", F.lit(False)), "frontier", 0
+        )
         store.write_full(host_state, "host_state", 0)
         store.write_delta(url_seen, "url_seen", 0, partition_by=("shard",))
+        if cfg.seen_bloom_bits > 0:
+            from heritrix_spark.operators.bloomseen import bloom_delta
+
+            store.write_delta(
+                bloom_delta(url_seen, bits=cfg.seen_bloom_bits),
+                "url_seen_bloom",
+                0,
+            )
         store.write_delta(
             frontier.select(
                 F.lit(0).alias("round"),
@@ -116,26 +154,18 @@ def crawl(
             "lineage",
             0,
         )
-        store.write_delta(
-            spark.createDataFrame(
-                [
-                    {
-                        "round": 0,
-                        "now_ms": 0,
-                        "emitted": 0,
-                        "succeeded": 0,
-                        "failed": 0,
-                        "disregarded": 0,
-                        "retried": 0,
-                        "novel_scheduled": max_ordinal,
-                        "max_ordinal": max_ordinal,
-                        "rescheduled": 0,
-                    }
-                ]
-            ),
-            "metrics",
-            0,
-        )
+        metrics0 = {
+            "round": 0,
+            "now_ms": 0,
+            "emitted": 0,
+            "succeeded": 0,
+            "failed": 0,
+            "disregarded": 0,
+            "retried": 0,
+            "novel_scheduled": max_ordinal,
+            "max_ordinal": max_ordinal,
+            "rescheduled": 0,
+        }
         empty_log = spark.createDataFrame(
             [],
             schema="round int, now_ms long, class_key string, url string, "
@@ -144,12 +174,16 @@ def crawl(
             "politeness_delay_ms long, hops_path string, via string",
         )
         store.write_delta(empty_log, "fetch_log", 0)
-        store.commit_round(0, {"now_ms": 0, "max_ordinal": max_ordinal})
+        store.commit_round(
+            0,
+            {"now_ms": 0, "max_ordinal": max_ordinal, "metrics_log": [metrics0]},
+        )
         manifest = store.manifest()
 
     round_no = manifest["round"]
     now_ms = manifest["meta"]["now_ms"]
     max_ordinal = manifest["meta"]["max_ordinal"]
+    metrics_log = list(manifest["meta"].get("metrics_log", []))
 
     while round_no < max_rounds:
         if stop_after_round is not None and round_no >= stop_after_round:
@@ -159,6 +193,9 @@ def crawl(
         host_state = store.read("host_state")
         url_seen = store.read("url_seen")
         future_uris = store.read("future_uris")
+        seen_blooms = (
+            store.read("url_seen_bloom") if cfg.seen_bloom_bits > 0 else None
+        )
         result = run_round(
             spark,
             round_no,
@@ -172,38 +209,80 @@ def crawl(
             prefixes,
             cfg,
             future_uris=future_uris,
+            seen_blooms=seen_blooms,
+            host_config=host_config,
         )
         if result.done:
             round_no -= 1
             break
         if round_no % COMPACT_EVERY == 0:
             # periodic compaction: materialize the resolved view as the
-            # single base delta, drop all tombstones (atomic at commit)
-            store.write_delta(result.frontier, "frontier", round_no, reset=True)
-            store.write_delta(
-                spark.createDataFrame([], schema=TOMBSTONE_SCHEMA),
-                "frontier_tombstones",
-                round_no,
-                reset=True,
-            )
+            # single base delta; tombstones vanish with the collapse
+            # (atomic at the manifest commit)
+            frontier_out = result.frontier.withColumn("tombstone", F.lit(False))
+            frontier_reset = True
         else:
-            store.write_delta(result.frontier_delta, "frontier", round_no)
-            store.write_delta(
-                result.emitted_ordinals, "frontier_tombstones", round_no
+            frontier_out = result.frontier_delta.withColumn(
+                "tombstone", F.lit(False)
+            ).unionByName(
+                result.emitted_ordinals.withColumn("tombstone", F.lit(True)),
+                allowMissingColumns=True,
             )
-        store.write_full(result.host_state, "host_state", round_no)
+            frontier_reset = False
+
+        # the round's write jobs are independent (each reads only the
+        # persisted intra-round intermediates, warm by the time
+        # run_round returns) — submit them concurrently so per-round
+        # wall time is max(write) instead of sum(write). Scheduling
+        # overhead, not data volume, dominates a fixture round; on a
+        # real cluster concurrent jobs also overlap their I/O.
+        writes = [
+            lambda: store.write_delta(
+                frontier_out, "frontier", round_no, reset=frontier_reset
+            ),
+            lambda: store.write_full(result.host_state, "host_state", round_no),
+            lambda: store.write_delta(
+                result.url_seen_delta,
+                "url_seen",
+                round_no,
+                partition_by=("shard",),
+            ),
+            lambda: store.write_delta(result.fetch_log, "fetch_log", round_no),
+            lambda: store.write_delta(result.lineage, "lineage", round_no),
+        ]
         if result.future_uris is not None:
-            store.write_full(result.future_uris, "future_uris", round_no)
-        store.write_delta(
-            result.url_seen_delta, "url_seen", round_no, partition_by=("shard",)
-        )
-        store.write_delta(result.fetch_log, "fetch_log", round_no)
-        store.write_delta(result.lineage, "lineage", round_no)
-        store.write_delta(
-            spark.createDataFrame([result.metrics]), "metrics", round_no
-        )
+            writes.append(
+                lambda: store.write_full(
+                    result.future_uris, "future_uris", round_no
+                )
+            )
+        if cfg.seen_bloom_bits > 0:
+            from heritrix_spark.operators.bloomseen import bloom_delta
+
+            writes.append(
+                lambda: store.write_delta(
+                    bloom_delta(result.url_seen_delta, bits=cfg.seen_bloom_bits),
+                    "url_seen_bloom",
+                    round_no,
+                )
+            )
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            for f in [pool.submit(w) for w in writes]:
+                f.result()  # propagate the first failure
         now_ms, max_ordinal = result.now_ms, result.max_ordinal
-        store.commit_round(round_no, {"now_ms": now_ms, "max_ordinal": max_ordinal})
+        # a re-run round after a crash replaces its own metrics entry
+        metrics_log = [m for m in metrics_log if m["round"] < round_no]
+        metrics_log.append(result.metrics)
+        store.commit_round(
+            round_no,
+            {
+                "now_ms": now_ms,
+                "max_ordinal": max_ordinal,
+                "metrics_log": metrics_log,
+            },
+        )
         spark.catalog.clearCache()  # state is re-read from parquet next round
 
     return CrawlResult(rounds=round_no, store=store)

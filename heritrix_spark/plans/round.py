@@ -100,6 +100,39 @@ HOST_STATE_SCHEMA = T.StructType(
 # PreconditionEnforcer.java:206-214 isRobotsTxt check)
 ROBOTS_URI_PATTERN = r"^https?://[^/]+/robots\.txt$"
 
+# Per-host sheet-overlay columns (KeyedProperties analog — the reference
+# overlays politeness/budget settings per SURT via Spring sheets,
+# commons/.../spring/Sheet.java + profile-crawler-beans.cxml:218-383).
+# A ``host_config(class_key, <subset of these>)`` dimension broadcast-
+# joins into the round; null (or absent host) falls through to the
+# global cfg, like an overlay falling through to the containing sheet.
+OVERLAY_COLS = (
+    "delay_factor",
+    "min_delay_ms",
+    "max_delay_ms",
+    "total_budget",
+    "session_budget",
+)
+
+
+def _overlay(df: DataFrame, host_config: DataFrame | None) -> DataFrame:
+    """Left-broadcast-join ``__o_<col>`` overlay columns (all-null when
+    no host_config table is configured)."""
+    if host_config is None:
+        for c in OVERLAY_COLS:
+            df = df.withColumn(f"__o_{c}", F.lit(None).cast("double"))
+        return df
+    sel = [F.col("class_key")]
+    for c in OVERLAY_COLS:
+        if c in host_config.columns:
+            sel.append(F.col(c).cast("double").alias(f"__o_{c}"))
+    ov = host_config.select(*sel)
+    df = df.join(F.broadcast(ov), on="class_key", how="left")
+    for c in OVERLAY_COLS:
+        if f"__o_{c}" not in df.columns:
+            df = df.withColumn(f"__o_{c}", F.lit(None).cast("double"))
+    return df
+
 
 @dataclass
 class RoundResult:
@@ -183,6 +216,8 @@ def run_round(
     seed_surt_prefixes: list[str],
     cfg: PolitenessConfig = PolitenessConfig(),
     future_uris: DataFrame | None = None,
+    seen_blooms: DataFrame | None = None,
+    host_config: DataFrame | None = None,
 ) -> RoundResult:
     # ---- clock + ready-host selection (spec step 1)
     from heritrix_spark.operators.prepare import (
@@ -460,7 +495,20 @@ def run_round(
     unique = collapse_batch_duplicates(
         cands, key="canon_url", order_cols=("parent_ordinal", "link_seq")
     )
-    novel = dedup_candidates(unique, url_seen, n_shards=cfg.n_seen_shards)
+    if cfg.seen_bloom_bits > 0 and seen_blooms is not None:
+        # bloom prefilter (BloomUriUniqFilter analog): definite misses
+        # bypass the exact anti-join; membership unchanged by design
+        from heritrix_spark.operators.bloomseen import dedup_candidates_bloom
+
+        novel = dedup_candidates_bloom(
+            unique,
+            url_seen,
+            seen_blooms,
+            n_shards=cfg.n_seen_shards,
+            bits=cfg.seen_bloom_bits,
+        )
+    else:
+        novel = dedup_candidates(unique, url_seen, n_shards=cfg.n_seen_shards)
     novel, n_novel = assign_ordinals(
         novel,
         ["parent_ordinal", "link_seq", "canon_url"],
@@ -555,10 +603,20 @@ def run_round(
             futures_next = to_future
 
     # ---- host/budget update (spec step 6)
+    # per-host sheet overlays ride a broadcast join keyed on class_key;
+    # nulls fall back to global cfg inside each formula
+    fetched_o = _overlay(fetched, host_config)
     delay_expr = (
         F.when(
             F.col("disposition").isin("success", "failure"),
-            politeness_delay_col(F.col("fetch_duration_ms"), F.col("crawl_delay"), cfg),
+            politeness_delay_col(
+                F.col("fetch_duration_ms"),
+                F.col("crawl_delay"),
+                cfg,
+                delay_factor=F.col("__o_delay_factor"),
+                min_delay_ms=F.col("__o_min_delay_ms"),
+                max_delay_ms=F.col("__o_max_delay_ms"),
+            ),
         )
         .when(
             F.col("disposition") == "retry",
@@ -593,8 +651,10 @@ def run_round(
         wake_delay = F.greatest(delay_expr, bw_ms)
     else:
         wake_delay = delay_expr
-    host_updates = fetched.select(
+    host_updates = fetched_o.select(
         "class_key",
+        F.col("__o_total_budget"),
+        F.col("__o_session_budget"),
         expenditure_col(
             F.col("disposition"), F.col("cost"), F.col("fetch_status"), cfg
         ).alias("expend"),
@@ -615,7 +675,13 @@ def run_round(
     updated = (
         host_state.join(
             host_updates.select(
-                "class_key", "expend", "new_wake", "succ_inc", "new_robots_fetched"
+                "class_key",
+                "expend",
+                "new_wake",
+                "succ_inc",
+                "new_robots_fetched",
+                "__o_total_budget",
+                "__o_session_budget",
             ),
             on="class_key",
             how="left",
@@ -637,13 +703,21 @@ def run_round(
                 "session_spent"
             ),
             F.col("activation_seq"),
+            # effective budgets under per-host overlays: evaluated where
+            # expenditure changed (= emitting hosts this round); a
+            # non-emitting host's budgets were evaluated the round its
+            # expenditure last changed
+            F.coalesce(F.col("__o_total_budget"), F.lit(float(cfg.total_budget)))
+            .alias("__eff_tb"),
+            F.coalesce(F.col("__o_session_budget"), F.lit(float(cfg.session_budget)))
+            .alias("__eff_sb"),
         )
         .withColumn(
             "retired",
             F.col("retired")
             | (
-                F.lit(cfg.total_budget >= 0)
-                & (F.col("total_expenditure") > F.lit(cfg.total_budget))
+                (F.col("__eff_tb") >= 0)
+                & (F.col("total_expenditure") > F.col("__eff_tb"))
             ),
         )
         # duty cycle: over session budget → deactivate (reset spent,
@@ -652,7 +726,7 @@ def run_round(
         # next round regardless), matching unbounded toe threads.
         .withColumn(
             "__over_session",
-            F.col("session_spent") > F.lit(cfg.session_budget),
+            F.col("session_spent") > F.col("__eff_sb"),
         )
         .withColumn(
             "session_spent",
@@ -666,7 +740,7 @@ def run_round(
                 F.col("activation_seq")
             ),
         )
-        .drop("__over_session")
+        .drop("__over_session", "__eff_tb", "__eff_sb")
     )
     new_hosts = (
         novel_frontier.select("class_key")

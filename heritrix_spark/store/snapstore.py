@@ -20,13 +20,14 @@ Two table modes:
 - ``full``  — the round's directory holds the complete table
   (host_state, future_uris: small per-host / per-seed tables),
 - ``delta`` — the table is the union of all committed rounds'
-  directories (frontier, frontier_tombstones, url_seen, fetch_log,
-  lineage, metrics: append-only — at 10^10 scale neither the seen set
-  nor the frontier is ever rewritten per round, only appended,
-  mirroring the reference's insert-only BdbUriUniqFilter B-tree and
-  in-place BdbMultipleWorkQueues mutation). The frontier's live view
-  is ``deltas LEFT ANTI JOIN tombstones ON (ordinal, delta_round)``
-  (Iceberg merge-on-read positional deletes); ``write_delta(...,
+  directories (frontier, url_seen, url_seen_bloom, fetch_log, lineage:
+  append-only — at 10^10 scale neither the seen set nor the frontier
+  is ever rewritten per round, only appended, mirroring the
+  reference's insert-only BdbUriUniqFilter B-tree and in-place
+  BdbMultipleWorkQueues mutation). Frontier rows carry a ``tombstone``
+  flag: the live view is ``rows LEFT ANTI JOIN tombstones ON (ordinal,
+  delta_round)`` (Iceberg merge-on-read positional deletes, flagged
+  in-table so a round is one write job); ``write_delta(...,
   reset=True)`` is the periodic compaction (rewrite-data-files).
 
 Resume = read MANIFEST.json and continue from ``round + 1``
@@ -38,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,13 +48,15 @@ MANIFEST = "MANIFEST.json"
 
 FULL_TABLES = ("host_state", "future_uris")
 DELTA_TABLES = (
-    "frontier",
-    "frontier_tombstones",
+    "frontier",  # rows + positional-delete tombstones (tombstone flag)
     "url_seen",
+    "url_seen_bloom",
     "fetch_log",
     "lineage",
-    "metrics",
 )
+# per-round metrics live in the manifest meta ("metrics_log"), the
+# snapshot-summary analog — a 1-row parquet job per round costs more
+# scheduling than the data
 
 
 class SnapStore:
@@ -60,6 +64,10 @@ class SnapStore:
         self.root = root
         self.spark = spark
         self._staged: dict[str, str] = {}
+        # table writes may run concurrently (crawl loop parallelizes a
+        # round's independent write jobs); staging updates are the only
+        # shared mutable state
+        self._stage_lock = threading.Lock()
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------ manifest
@@ -107,7 +115,8 @@ class SnapStore:
     def write_full(self, df: DataFrame, table: str, round_no: int) -> None:
         path = self._dir(table, round_no)
         df.write.mode("overwrite").parquet(path)
-        self._staged = {**self._staged, table: "full"}
+        with self._stage_lock:
+            self._staged[table] = "full"
 
     def write_delta(
         self,
@@ -132,7 +141,8 @@ class SnapStore:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
-        self._staged = {**self._staged, table: "delta_reset" if reset else "delta"}
+        with self._stage_lock:
+            self._staged[table] = "delta_reset" if reset else "delta"
 
     def read(self, table: str) -> DataFrame | None:
         """Read the committed state of a table (manifest-driven)."""

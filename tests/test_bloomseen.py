@@ -105,3 +105,40 @@ def test_seen_scan_pruned_to_hit_shards(spark, seen, blooms):
         cands, seen, blooms, n_shards=N_SHARDS, bits=BITS
     )
     assert out.count() == 0  # the one candidate is a member
+
+
+def test_crawl_with_bloom_bit_identical(spark, tmp_path):
+    """A full crawl with the bloom sidecar enabled must produce exactly
+    the same fetch log, seen set, and round count as without it."""
+    from dataclasses import replace
+
+    from heritrix_spark.constants import PolitenessConfig
+    from heritrix_spark.fixtures.gen import generate, write_parquet
+    from heritrix_spark.plans.crawl import crawl
+
+    fx = generate(hosts=3, docs_per_host=3, links_per_doc=2, seed=23)
+    paths = write_parquet(fx, str(tmp_path / "fx"))
+    docs = spark.read.parquet(paths["docs"])
+    seeds = spark.read.parquet(paths["seeds"])
+    robots = spark.read.parquet(paths["robots"])
+
+    base = crawl(
+        spark, str(tmp_path / "plain"), docs, seeds, robots, PolitenessConfig()
+    )
+    bloomed = crawl(
+        spark,
+        str(tmp_path / "bloomed"),
+        docs,
+        seeds,
+        robots,
+        replace(PolitenessConfig(), seen_bloom_bits=1 << 10),
+    )
+
+    def state(res):
+        log = sorted(
+            tuple(sorted(r.asDict().items())) for r in res.fetch_log().collect()
+        )
+        seen = sorted(r["canon_url"] for r in res.url_seen().collect())
+        return log, seen, res.rounds
+
+    assert state(bloomed) == state(base)

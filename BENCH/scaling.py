@@ -92,7 +92,7 @@ spark.stop()
 
 
 def run_sub(
-    code: str, args: list[str], timeout: int = 1800, cpus: int | None = None
+    code: str, args: list[str], timeout: int = 3600, cpus: int | None = None
 ) -> str:
     """Run a python job, optionally CPU-affinity-bound to ``cpus`` cores.
 

@@ -993,19 +993,24 @@ def q_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -------------------------------------------------- 22. full crawl rounds (rows-only)
+# -------------------------------------------------- 22. full crawl rounds
+
+_CRAWL_FIXTURE = dict(hosts=4, docs_per_host=4, links_per_doc=3, seed=7)
+
 
 def q_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end operator: run a complete crawl on the
-    deterministic synthetic fixture and return the fetch log. No SQL
-    oracle (iterative, stateful); the authoritative check is the pytest
-    oracle-simulator equality (tests/test_end_to_end.py)."""
+    deterministic synthetic fixture and return the fetch log. The oracle
+    is the pure-Python reference simulator (an independent implementation
+    of the same Heritrix semantics, oracle/simulator.py) whose fetch log
+    is exported to parquet and read back by DuckDB — the driver-gate form
+    of the tests/test_end_to_end.py equality."""
     import tempfile
 
     from heritrix_spark.fixtures.gen import generate, write_parquet
     from heritrix_spark.plans.crawl import crawl
 
-    fx = generate(hosts=4, docs_per_host=4, links_per_doc=3, seed=7)
+    fx = generate(**_CRAWL_FIXTURE)
     with tempfile.TemporaryDirectory(prefix="hxq_") as tmp:
         paths = write_parquet(fx, tmp)
         docs = spark.read.parquet(paths["docs"])
@@ -1017,7 +1022,57 @@ def q_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log
 
 
+def _crawl_rounds_oracle() -> str:
+    """Run the pure-Python oracle simulator on the same fixture, export
+    its fetch log to parquet, and return SQL reading it back. The
+    simulator is the independent twin (no Spark, no shared code with the
+    engine's plans), so hash-equality here is a genuine cross-check."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from heritrix_spark.constants import PolitenessConfig
+    from heritrix_spark.fixtures.gen import generate
+    from heritrix_spark.oracle.simulator import simulate
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "hx_crawl_rounds_oracle_h{hosts}d{docs_per_host}l{links_per_doc}"
+        "s{seed}.parquet".format(**_CRAWL_FIXTURE),
+    )
+    if not os.path.exists(path):
+        fx = generate(**_CRAWL_FIXTURE)
+        sim = simulate(fx.doc_map(), fx.seeds, fx.robots_map(), PolitenessConfig())
+        # exact engine fetch_log schema (plans/crawl.py empty_log)
+        i32 = ("round", "directive", "precedence", "fetch_status", "cost")
+        i64 = ("now_ms", "ordinal", "politeness_delay_ms")
+        cols = [
+            "round", "now_ms", "class_key", "url", "canon_url", "ordinal",
+            "directive", "precedence", "fetch_status", "disposition", "cost",
+            "politeness_delay_ms", "hops_path", "via",
+        ]
+        schema = pa.schema(
+            [
+                (c, pa.int32() if c in i32 else pa.int64() if c in i64 else pa.string())
+                for c in cols
+            ]
+        )
+        table = pa.Table.from_pylist(
+            [{c: r[c] for c in cols} for r in sim.fetch_log], schema=schema
+        )
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return (
+        f"select * from read_parquet('{path}') "
+        "order by round, class_key, ordinal"
+    )
+
+
 QUERIES["crawl_rounds"] = q_crawl_rounds
+ORACLE_SQL["crawl_rounds"] = _crawl_rounds_oracle()
 
 
 # -------------------------------------------------- 23. queue precedence policies
@@ -1621,3 +1676,218 @@ def q_queue_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"select {_CK_DERIVATION} as class_key, doc_id as ordinal from documents"
     )
     return average_queue_depth(frontier)
+
+
+# -------------------------------------------------- 37. named DecideRules fold
+
+# URL/via/hops mixture exercising the named SURT-family and regex-family
+# rules: host1/2/3 plus sub.* subdomains, media extensions for the file-
+# pattern presets, link-depth hops, and null-via seeds.
+NAMED_URL_DERIVATION = """
+  'http://' ||
+  case when doc_id % 4 = 0 then 'sub.' else '' end ||
+  'host' || cast(doc_id % 3 + 1 as string) || '.example/p' ||
+  cast(doc_id % 7 as string) || '/file' || cast(doc_id % 5 as string) ||
+  case cast(doc_id % 6 as int)
+       when 0 then '.jpg' when 1 then '.mp3' when 2 then '.pdf'
+       when 3 then '.swf' else '.html' end
+""".strip()
+
+NAMED_HOPS_DERIVATION = """
+  case cast(doc_id % 4 as int) when 0 then '' when 1 then 'LL'
+       when 2 then 'LLLL' else 'LE' end
+""".strip()
+
+NAMED_VIA_DERIVATION = """
+  case when doc_id % 5 = 0 then cast(null as string)
+       else 'http://host1.example/index.html' end
+""".strip()
+
+_LIST_REGEXES = [r".*/p[0-2]/.*", r".*file[0-1]\..*"]  # AND logic
+
+
+def _named_rules_oracle() -> str:
+    from heritrix_spark.operators.scope import FILE_PATTERN_PRESETS
+
+    surt = surt_sql("url")
+    allpat = FILE_PATTERN_PRESETS["ALL"].replace("'", "''")
+    r_and = " and ".join(
+        f"regexp_full_match(url, '{r}')" for r in _LIST_REGEXES
+    )
+    # reversed-priority CASE = the engine's last-write-wins fold
+    return f"""
+    with u as (select doc_id, {NAMED_URL_DERIVATION} as url,
+                      {NAMED_HOPS_DERIVATION} as hops,
+                      {NAMED_VIA_DERIVATION} as via from documents),
+    s as (select doc_id, url, hops, via, {surt} as surt from u),
+    folded as (
+      select doc_id,
+        case
+          when not (starts_with(surt, 'http://(example,host1,')
+                    or starts_with(surt, 'http://(example,host2,')) then false
+          when regexp_full_match(hops, 'L{{3,}}') then false
+          when {r_and} then true
+          when regexp_full_match(url, '{allpat}') then false
+          when starts_with(surt, 'http://(example,host2,)') then true
+          when not starts_with(surt, 'http://(example,host1,') then false
+          when via is not null then true
+          else false
+        end as in_scope
+      from s)
+    select cast(doc_id as bigint) as doc_id, in_scope
+    from folded order by doc_id
+    """
+
+
+@register("scope_named_rules", _named_rules_oracle())
+def q_scope_named_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named DecideRule implementations folded through
+    DecideRuleSequence semantics: HasViaDecideRule → NotOnDomains →
+    OnHosts (host-enforcing prefix) → MatchesFilePattern(ALL) →
+    MatchesListRegex (AND logic) → HopsPathMatchesRegex →
+    NotSurtPrefixed (surt/*.java, MatchesListRegexDecideRule.java:84-108,
+    MatchesFilePatternDecideRule.java:34-47, HasViaDecideRule.java:45-47)."""
+    from heritrix_spark.functions.surt import surt_col
+    from heritrix_spark.operators.scope import (
+        Rule,
+        apply_rules,
+        has_via_predicate,
+        hops_path_matches_regex_predicate,
+        matches_file_pattern_predicate,
+        matches_list_regex_predicate,
+        not_on_domains_predicate,
+        not_surt_prefixed_predicate,
+        on_hosts_predicate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    u = spark.sql(
+        f"select doc_id, {NAMED_URL_DERIVATION} as url, "
+        f"{NAMED_HOPS_DERIVATION} as hops, {NAMED_VIA_DERIVATION} as via "
+        "from documents"
+    ).withColumn("surt", surt_col(F.col("url")))
+    url, hops, via, surt = (F.col(c) for c in ("url", "hops", "via", "surt"))
+    h1, h2 = "http://(example,host1,", "http://(example,host2,"
+    rules = [
+        Rule("has_via", has_via_predicate(via), True),
+        Rule("not_on_domains", not_on_domains_predicate(url, [h1], surt=surt), False),
+        Rule("on_hosts", on_hosts_predicate(url, [h2], surt=surt), True),
+        Rule("file_pattern", matches_file_pattern_predicate(url, "ALL"), False),
+        Rule(
+            "list_regex",
+            matches_list_regex_predicate(url, _LIST_REGEXES, logical_or=False),
+            True,
+        ),
+        Rule("deep_hops", hops_path_matches_regex_predicate(hops, "L{3,}"), False),
+        Rule(
+            "not_surt_prefixed",
+            not_surt_prefixed_predicate(url, [h1, h2], surt=surt),
+            False,
+        ),
+    ]
+    return (
+        u.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            apply_rules(rules, start=False).alias("in_scope"),
+        ).orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------- 38. precedence Histotable
+
+@register(
+    "precedence_histogram",
+    f"""
+    with u as ({_DUCK_URLS}),
+    k as (select {class_key_sql(canonicalize_sql('url'))} as class_key,
+                 precedence from u),
+    h as (select class_key, precedence, cast(count(*) as bigint) as n
+          from k group by class_key, precedence)
+    select class_key, cast(precedence as int) as precedence, n,
+           cast(3 + min(precedence) over (partition by class_key) as int)
+             as queue_precedence
+    from h order by class_key, precedence
+    """,
+)
+def q_precedence_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-queue precedence Histotable + derived queue precedence
+    (HighestUriQueuePrecedencePolicy.java:33-60, Histotable.java)."""
+    from heritrix_spark.operators.reports import precedence_histogram
+
+    frontier = _docs_urls(spark, sf_dir).select(
+        class_key_col(canonicalize_col("url")).alias("class_key"),
+        F.col("precedence").cast("int").alias("precedence"),
+    )
+    return precedence_histogram(frontier).orderBy("class_key", "precedence")
+
+
+# -------------------------------------------------- 39. crawl mappers
+
+_LEX_BOUNDARIES = [
+    ("example,host15,z", "crawlerA"),
+    ("example,host3,z", "crawlerB"),
+]
+
+
+@register(
+    "lexical_mapper",
+    f"""
+    with k as (select distinct {_CK_DERIVATION} as class_key from documents)
+    select class_key,
+      case when class_key <= 'example,host15,z' then 'crawlerA'
+           when class_key <= 'example,host3,z' then 'crawlerB'
+           else 'crawlerA' end as crawler_node
+    from k order by class_key
+    """,
+)
+def q_lexical_mapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LexicalCrawlMapper: nearest equal-or-subsequent boundary key wins,
+    wrapping to the first entry (LexicalCrawlMapper.java:144-153)."""
+    from heritrix_spark.operators.mapper import lexical_map_col
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    k = spark.sql(f"select distinct {_CK_DERIVATION} as class_key from documents")
+    return k.select(
+        "class_key",
+        lexical_map_col(F.col("class_key"), _LEX_BOUNDARIES).alias(
+            "crawler_node"
+        ),
+    ).orderBy("class_key")
+
+
+@register(
+    "hash_mapper",
+    f"""
+    with k as (select distinct {_CK_DERIVATION} as class_key from documents),
+    r as (select class_key,
+                 regexp_extract(class_key, '(example,host[0-9])', 1) as reduced
+          from k)
+    select class_key,
+      cast(('0x' || substr(md5(reduced), 1, 15))::BIGINT % 7 as varchar)
+        as crawler_node
+    from r order by class_key
+    """,
+)
+def q_hash_mapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashCrawlMapper: regex-reduce the key (find-first), fingerprint,
+    abs(fp % crawlerCount) (HashCrawlMapper.java:121-134; md5-60
+    fingerprint backend so the DuckDB twin computes the identical
+    walk)."""
+    from heritrix_spark.operators.mapper import hash_map_col
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    k = spark.sql(f"select distinct {_CK_DERIVATION} as class_key from documents")
+    return k.select(
+        "class_key",
+        hash_map_col(
+            F.col("class_key"),
+            7,
+            reduce_regex="example,host[0-9]",
+            fp="md5_60",
+        ).alias("crawler_node"),
+    ).orderBy("class_key")

@@ -124,6 +124,27 @@ def hops_uri_precedence_col(hops_path: Column, base: int = 1) -> Column:
 
 # -------------------------------------------------------------- ordinals
 
+# Above this many buckets the per-bucket offset map switches from a
+# create_map literal to a broadcast join: a literal of B entries grows
+# the plan (and codegen) linearly with cluster size, while a broadcast
+# hash probe stays O(1)/row no matter how many buckets a 1000-executor
+# round uses.
+_OFFSET_MAP_LITERAL_MAX = 256
+
+
+def _attach_offsets(df: DataFrame, key: str, offsets: dict[int, int]) -> DataFrame:
+    """Add ``__offset`` = offsets[key] — literal map while tiny,
+    broadcast join when the bucket count grows with cluster size."""
+    if len(offsets) <= _OFFSET_MAP_LITERAL_MAX:
+        m = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        return df.withColumn("__offset", m[F.col(key)])
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in offsets.items()],
+        schema=f"{key} int, __offset long",
+    )
+    return df.join(F.broadcast(off_df), key, "left")
+
 
 def assign_ordinals(
     df: DataFrame,
@@ -188,11 +209,13 @@ def assign_ordinals(
         for b in sorted(counts):
             offsets[b] = acc
             acc += counts[b]
-        offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-        result = work.withColumn(
-            out_col,
-            (offset_map[F.col("__bucket")] + F.col("__lrank")).cast("long"),
-        ).drop("__bucket", "__lrank")
+        result = (
+            _attach_offsets(work, "__bucket", offsets)
+            .withColumn(
+                out_col, (F.col("__offset") + F.col("__lrank")).cast("long")
+            )
+            .drop("__bucket", "__lrank", "__offset")
+        )
         return result, int(sum(counts.values()))
 
     inp = df.persist()
@@ -216,14 +239,13 @@ def assign_ordinals(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     local_pos = F.col("__mid") - (F.col("__pid").cast("long") * F.lit(1 << 33))
     result = (
-        ordered.withColumn(
-            out_col,
-            (offset_map[F.col("__pid")] + local_pos + F.lit(1)).cast("long"),
+        _attach_offsets(ordered, "__pid", offsets)
+        .withColumn(
+            out_col, (F.col("__offset") + local_pos + F.lit(1)).cast("long")
         )
-        .drop("__mid", "__pid")
+        .drop("__mid", "__pid", "__offset")
     )
     return result, int(sum(counts.values()))
 

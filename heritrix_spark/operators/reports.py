@@ -170,3 +170,26 @@ def congestion_ratio(
         ready.cast("long").alias("ready_queues"),
         (F.count("*") / F.greatest(ready, F.lit(1))).alias("congestion_ratio"),
     )
+
+
+def precedence_histogram(
+    frontier: DataFrame, base_precedence: int = 3
+) -> DataFrame:
+    """Per-queue Histotable of enqueued URI precedences plus the derived
+    queue precedence (HighestUriQueuePrecedencePolicy.java:33-60 keeps
+    ``enqueuedCounts`` as an incrementally-tallied Histotable per queue;
+    the queue's precedence is base + the lowest enqueued value, and the
+    full distribution feeds the precedence report).
+
+    Batch restatement: the histogram IS ``groupBy(class_key,
+    precedence).count()`` — one map-side-combinable shuffle — and the
+    derived precedence is a per-queue min window over the (already
+    tiny) histogram, not over the frontier."""
+    hist = frontier.groupBy("class_key", "precedence").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("class_key")
+    return hist.withColumn(
+        "queue_precedence",
+        (F.lit(base_precedence) + F.min("precedence").over(w)).cast("int"),
+    )

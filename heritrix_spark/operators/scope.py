@@ -169,6 +169,136 @@ def default_scope(
     return apply_rules(rules, start=False)
 
 
+# ---------------------------------------------- named SURT-family rules
+# (modules/.../deciderules/surt/: SurtPrefixedDecideRule subclasses that
+# patch the prefix set before matching — SurtPrefixSet.java:269-330)
+
+
+def convert_prefix_to_host(prefix: str) -> str:
+    """SurtPrefixSet.convertPrefixToHost (SurtPrefixSet.java:283-298):
+    close an open-ended authority prefix with ')' so it enforces the
+    exact host (subdomains no longer match); truncate path info."""
+    if prefix.endswith(")"):
+        return prefix
+    i = prefix.find(")")
+    if i < 0:
+        if not prefix.endswith(","):
+            prefix += ","
+        return prefix + ")"
+    return prefix[: i + 1]
+
+
+def convert_prefix_to_domain(prefix: str) -> str:
+    """SurtPrefixSet.convertPrefixToDomain (SurtPrefixSet.java:321-330):
+    open the prefix at ')' so it matches the whole domain including
+    subdomains, and strip a trailing 'www,' label."""
+    i = prefix.find(")")
+    if i >= 0:
+        prefix = prefix[:i]
+    if prefix.endswith("www,"):
+        prefix = prefix[:-4]
+    return prefix
+
+
+def not_surt_prefixed_predicate(
+    url: Column, prefixes: list[str], surt: Column | None = None
+) -> Column:
+    """NotSurtPrefixedDecideRule (surt/NotSurtPrefixedDecideRule.java):
+    decision applies when the SURT form matches NO configured prefix."""
+    return ~surt_prefix_predicate(url, prefixes, surt=surt)
+
+
+def on_hosts_predicate(
+    url: Column, prefixes: list[str], surt: Column | None = None
+) -> Column:
+    """OnHostsDecideRule (surt/OnHostsDecideRule.java: prefix set run
+    through convertAllPrefixesToHosts): exact-host match only."""
+    host_prefixes = sorted({convert_prefix_to_host(p) for p in prefixes})
+    return surt_prefix_predicate(url, host_prefixes, surt=surt)
+
+
+def on_domains_predicate(
+    url: Column, prefixes: list[str], surt: Column | None = None
+) -> Column:
+    """OnDomainsDecideRule (surt/OnDomainsDecideRule.java: prefix set run
+    through convertAllPrefixesToDomains): domain + all subdomains."""
+    dom_prefixes = sorted({convert_prefix_to_domain(p) for p in prefixes})
+    return surt_prefix_predicate(url, dom_prefixes, surt=surt)
+
+
+def not_on_hosts_predicate(
+    url: Column, prefixes: list[str], surt: Column | None = None
+) -> Column:
+    """NotOnHostsDecideRule (surt/NotOnHostsDecideRule.java)."""
+    return ~on_hosts_predicate(url, prefixes, surt=surt)
+
+
+def not_on_domains_predicate(
+    url: Column, prefixes: list[str], surt: Column | None = None
+) -> Column:
+    """NotOnDomainsDecideRule (surt/NotOnDomainsDecideRule.java)."""
+    return ~on_domains_predicate(url, prefixes, surt=surt)
+
+
+# ---------------------------------------------- named regex-family rules
+
+
+def matches_regex_predicate(subject: Column, regex: str) -> Column:
+    """MatchesRegexDecideRule (MatchesRegexDecideRule.java:60-63).
+    Java's Matcher.matches() is a FULL-string match; rlike is a find,
+    so the pattern is anchored on both ends here."""
+    return subject.rlike(f"^(?:{regex})$")
+
+
+def not_matches_regex_predicate(subject: Column, regex: str) -> Column:
+    """NotMatchesRegexDecideRule.java."""
+    return ~matches_regex_predicate(subject, regex)
+
+
+def matches_list_regex_predicate(
+    subject: Column, regexes: list[str], logical_or: bool = True
+) -> Column:
+    """MatchesListRegexDecideRule (MatchesListRegexDecideRule.java:84-108):
+    empty list never matches; otherwise OR / AND over full-string
+    matches per ``listLogicalOr``."""
+    if not regexes:
+        return F.lit(False)
+    preds = [matches_regex_predicate(subject, r) for r in regexes]
+    out = preds[0]
+    for p in preds[1:]:
+        out = (out | p) if logical_or else (out & p)
+    return out
+
+
+# MatchesFilePatternDecideRule.java:34-47 preset groups (spec constants)
+FILE_PATTERN_PRESETS = {
+    "IMAGES": r".*(?i)(\.(bmp|gif|jpe?g|png|svg|tiff?))$",
+    "AUDIO": r".*(?i)(\.(aac|aiff?|m3u|m4a|midi?|mp2|mp3|mp4|mpa|ogg|ra|ram|wav|wma))$",
+    "VIDEO": r".*(?i)(\.(asf|asx|avi|flv|mov|mp4|mpeg|mpg|qt|ram|rm|smil|wmv))$",
+    "MISC": r".*(?i)(\.(doc|pdf|ppt|swf))$",
+}
+FILE_PATTERN_PRESETS["ALL"] = (
+    r".*(?i)(\.(bmp|gif|jpe?g|png|svg|tiff?|aac|aiff?|m3u|m4a|midi?"
+    r"|mp2|mp3|mp4|mpa|ogg|ra|ram|wav|wma|asf|asx|avi|flv|mov|mp4"
+    r"|mpeg|mpg|qt|ram|rm|smil|wmv|doc|pdf|ppt|swf))$"
+)
+
+
+def matches_file_pattern_predicate(url: Column, preset: str = "ALL") -> Column:
+    """MatchesFilePatternDecideRule (MatchesFilePatternDecideRule.java)."""
+    return matches_regex_predicate(url, FILE_PATTERN_PRESETS[preset])
+
+
+def hops_path_matches_regex_predicate(hops_path: Column, regex: str) -> Column:
+    """HopsPathMatchesRegexDecideRule.java: full-match over hopsPath."""
+    return matches_regex_predicate(hops_path, regex)
+
+
+def has_via_predicate(via: Column) -> Column:
+    """HasViaDecideRule (HasViaDecideRule.java:45-47): non-seed URIs."""
+    return via.isNotNull()
+
+
 def hop_crosses_assignment_domain_predicate(url: Column, via: Column) -> Column:
     """HopCrossesAssignmentLevelDomainDecideRule: the hop leaves the
     via's registered domain (PSL-reduced SURT authority differs).

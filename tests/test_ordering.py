@@ -86,3 +86,40 @@ def test_assign_ordinals_deterministic_across_parallelism(spark):
         ords = [r["ordinal"] for r in numbered.orderBy("ordinal").collect()]
         assert got == expected, f"ordinal order diverged at buckets={buckets}"
         assert ords == list(range(101, 5101))
+
+
+def test_assign_ordinals_broadcast_offset_path(spark, monkeypatch):
+    """With the literal-map threshold forced to 0, the per-bucket offsets
+    ride a broadcast join instead of a create_map literal — same
+    ordinals either way (the 1000-executor-bucket-count path)."""
+    import random
+
+    from heritrix_spark.operators import prepare
+
+    monkeypatch.setattr(prepare, "_OFFSET_MAP_LITERAL_MAX", 0)
+    rng = random.Random(9)
+    rows = [
+        (rng.randrange(500), rng.randrange(50), f"http://h{rng.randrange(30)}/b{i}")
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["parent_ordinal", "link_seq", "canon_url"])
+    expected = [u for _, _, u in sorted(rows)]
+
+    # bounded-lead path
+    numbered, n = prepare.assign_ordinals(
+        df, ["parent_ordinal", "link_seq", "canon_url"],
+        base=7, num_buckets=8, lead_bound=500,
+    )
+    assert n == 2000
+    assert [
+        r["canon_url"] for r in numbered.orderBy("ordinal").collect()
+    ] == expected
+
+    # generic (range-partition) path
+    numbered2, n2 = prepare.assign_ordinals(
+        df, ["parent_ordinal", "link_seq", "canon_url"], base=7, num_buckets=8,
+    )
+    assert n2 == 2000
+    assert [
+        r["canon_url"] for r in numbered2.orderBy("ordinal").collect()
+    ] == expected

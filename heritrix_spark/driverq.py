@@ -1891,3 +1891,125 @@ def q_hash_mapper(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp="md5_60",
         ).alias("crawler_node"),
     ).orderBy("class_key")
+
+
+# -------------------------------------------------- 40. WARC record assembly
+
+# Deterministic fetch mixture over documents: URL with host+path, fixed
+# epoch-anchored fetch times, via/hops present on non-seeds, duplicate
+# payloads (documents shares texts across doc_ids) exercising the
+# revisit path.
+_WARC_FETCH_SPARK = """
+  select cast(doc_id as bigint) as doc_id, text,
+    'http://host' || cast(doc_id % 40 + 1 as string) || '.example/w/p'
+      || cast(doc_id as string) as url,
+    1600000000000 + doc_id * 1000 as fetch_time_ms,
+    case when doc_id % 5 = 0 then cast(null as string)
+         else 'http://host1.example/seed' end as via,
+    case when doc_id % 5 = 0 then ''
+         else repeat('L', cast(1 + doc_id % 3 as int)) end as hops,
+    doc_id % 997 as dur
+  from documents
+""".strip()
+
+
+def _warc_oracle() -> str:
+    b32 = _b32_sql("substr(sha256(content), 1, 40)")
+    b32_block = _b32_sql("substr(sha256(block), 1, 40)")
+    crlf = "chr(13) || chr(10)"
+    return f"""
+    with u as (
+      select cast(doc_id as bigint) as doc_id, text,
+        'http://host' || cast(doc_id % 40 + 1 as varchar) || '.example/w/p'
+          || cast(doc_id as varchar) as url,
+        1600000000000 + doc_id * 1000 as t_ms,
+        case when doc_id % 5 = 0 then null
+             else 'http://host1.example/seed' end as via,
+        case when doc_id % 5 = 0 then ''
+             else repeat('L', cast(1 + doc_id % 3 as int)) end as hops,
+        doc_id % 997 as dur
+      from documents),
+    b as (
+      select *,
+        strftime(make_timestamp(t_ms * 1000), '%Y-%m-%dT%H:%M:%SZ') as wdate,
+        coalesce(text, '') as content
+      from u),
+    c as (
+      select *, 'sha256-160:' || {b32} as pdig,
+        md5(url || wdate || 'response') as m,
+        'HTTP/1.1 200 OK' || {crlf} || 'Content-Type: text/html' || {crlf}
+          || 'Content-Length: ' || cast(octet_length(encode(content)) as varchar)
+          || {crlf} || {crlf} as http_hdr,
+        regexp_extract(url, '^https?://([^/]+)', 1) as host,
+        regexp_extract(url, '^https?://[^/]+(/.*)$', 1) as path
+      from b),
+    d as (
+      select *,
+        'urn:uuid:' || substr(m, 1, 8) || '-' || substr(m, 9, 4) || '-'
+          || substr(m, 13, 4) || '-' || substr(m, 17, 4) || '-'
+          || substr(m, 21, 12) as base_id,
+        row_number() over (partition by pdig order by t_ms, url) as rnk
+      from c),
+    resp as (
+      select base_id as record_id,
+        case when rnk = 1 then 'response' else 'revisit' end as warc_type,
+        url as target_uri, wdate as warc_date,
+        'application/http; msgtype=response' as content_type,
+        case when rnk = 1 then http_hdr || content else http_hdr end as block,
+        pdig as payload_digest, cast(null as varchar) as concurrent_to
+      from d),
+    req as (
+      select base_id || '?type=request' as record_id,
+        'request' as warc_type, url as target_uri, wdate as warc_date,
+        'application/http; msgtype=request' as content_type,
+        'GET ' || path || ' HTTP/1.1' || {crlf} || 'Host: ' || host || {crlf}
+          || 'User-Agent: heritrix-spark' || {crlf} || {crlf} as block,
+        cast(null as varchar) as payload_digest, base_id as concurrent_to
+      from d),
+    meta as (
+      select base_id || '?type=metadata' as record_id,
+        'metadata' as warc_type, url as target_uri, wdate as warc_date,
+        'application/warc-fields' as content_type,
+        concat_ws({crlf},
+          case when via is not null then 'via: ' || via end,
+          case when coalesce(hops, '') <> '' then 'hopsFromSeed: ' || hops end,
+          'fetchTimeMs: ' || cast(dur as varchar)) || {crlf} as block,
+        cast(null as varchar) as payload_digest, base_id as concurrent_to
+      from d),
+    allrec as (
+      select * from resp union all select * from req
+      union all select * from meta)
+    select record_id, warc_type, target_uri, warc_date, content_type,
+      cast(octet_length(encode(block)) as bigint) as content_length,
+      payload_digest, 'sha256-160:' || {b32_block} as block_digest,
+      concurrent_to
+    from allrec order by target_uri, warc_type
+    """
+
+
+@register("warc_records", _warc_oracle())
+def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARCWriterProcessor record transactions (response-or-revisit +
+    request + metadata per fetched URI; WARCWriterProcessor.java:246-260,
+    319-470; header layout WARCWriter.java:176-206) as pure column
+    expressions, digest backend sha256-160 so DuckDB computes the
+    identical walk."""
+    from heritrix_spark.operators.warc import warc_records
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    fetches = spark.sql(_WARC_FETCH_SPARK).withColumn(
+        "content", F.coalesce(F.col("text"), F.lit(""))
+    )
+    recs = warc_records(
+        fetches,
+        url_col="url",
+        time_ms_col="fetch_time_ms",
+        content_col="content",
+        via_col="via",
+        hops_col="hops",
+        duration_ms_col="dur",
+        digest="sha256_160",
+    )
+    return recs.drop("record_text").orderBy("target_uri", "warc_type")

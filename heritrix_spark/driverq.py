@@ -2013,3 +2013,58 @@ def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         digest="sha256_160",
     )
     return recs.drop("record_text").orderBy("target_uri", "warc_type")
+
+
+# -------------------------------------------------- 41. banded 64-bit simhash near-dup
+
+def _duck_simhash_band(offset: int, bits: int = 16) -> str:
+    """Per-band DuckDB simhash: bit i of the band = majority vote on
+    global bit (offset + i) of the md5_60 token hashes."""
+    votes = []
+    for i in range(bits):
+        votes.append(
+            "case when list_aggregate(list_transform(toks, t -> "
+            f"case when (('0x' || substr(md5(t), 1, 15))::BIGINT >> {offset + i})"
+            " & 1 = 1 then 1 else -1 end), 'sum') > 0 "
+            f"then {1 << i} else 0 end"
+        )
+    return " + ".join(votes)
+
+
+def _simhash_neardup_oracle() -> str:
+    band_sql = ",\n        ".join(
+        f"cast({_duck_simhash_band(16 * j)} as bigint) as b{j}" for j in range(4)
+    )
+    hd = " + ".join(f"bit_count(xor(a.b{j}, b.b{j}))" for j in range(4))
+    return f"""
+    with t as (select doc_id,
+        string_split_regex(lower(text), '\\s+') as toks from documents),
+    s as (select doc_id,
+        {band_sql}
+      from t)
+    select cast(a.doc_id as bigint) as a_id, cast(b.doc_id as bigint) as b_id,
+           cast({hd} as int) as hamming_distance
+    from s a join s b on a.doc_id < b.doc_id
+    where {hd} <= 3
+    order by a_id, b_id
+    """
+
+
+@register("simhash_neardup_pairs", _simhash_neardup_oracle())
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded wide simhash near-dup join (4 x 16-bit bands, hd<=3):
+    by pigeonhole the band-equality self-join finds exactly the
+    brute-force hd<=3 pairs — the oracle IS the brute force, the engine
+    never compares all pairs."""
+    from heritrix_spark.pipeline.dedup import simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        simhash_neardup_pairs(docs, bands=4, band_bits=16, max_hd=3)
+        .select(
+            F.col("a_id").cast("long"),
+            F.col("b_id").cast("long"),
+            "hamming_distance",
+        )
+        .orderBy("a_id", "b_id")
+    )

@@ -24,7 +24,7 @@ DuckDB oracle twin (driverq registry).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -225,15 +225,23 @@ def token_hashes_col(text: Column) -> Column:
     )
 
 
-def simhash_from_hashes_col(hashes: Column, bits: int = 16) -> Column:
+def simhash_from_hashes_col(
+    hashes: Column, bits: int = 16, bit_offset: int = 0
+) -> Column:
     """SimHash bit-majority from pre-hashed tokens. For each bit i:
-    sign(sum over tokens of (bit_i(hash) ? 1 : -1)) → bit i."""
+    sign(sum over tokens of (bit_i(hash) ? 1 : -1)) → bit i.
+    ``bit_offset`` selects a window of the conceptual fingerprint —
+    band j of a 64-bit simhash is (bits=16, bit_offset=16*j), each a
+    small non-negative int (no 64-bit sign-bit trouble in either
+    engine)."""
     bit_votes = [
         F.aggregate(
             hashes,
             F.lit(0).cast("long"),
             lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            + F.when(
+                F.shiftright(h, bit_offset + i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
         )
         for i in range(bits)
     ]
@@ -270,6 +278,106 @@ def simhash_dedup(
         .agg(F.min(id_col).alias("keep_id"), F.count("*").cast("long").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    band_bits: int = 16,
+    max_hd: int = 3,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Near-duplicate pairs under a wide simhash with banded probing
+    (the Manku/Jain/Sarma WWW'07 scheme the VERDICT asked for at scale):
+    split the ``bands * band_bits``-wide fingerprint into ``bands``
+    segments; by pigeonhole any pair within Hamming distance
+    ``< bands`` agrees on at least one whole band, so with the default
+    (4 bands, max_hd=3) the band-equality self-join finds EXACTLY the
+    brute-force hd<=3 pairs — never an all-pairs comparison.
+
+    Physical shape: one projection computes all band values from a
+    single md5 token walk; candidates come from a self-join keyed on
+    (band_idx, band_value) — a hash shuffle on small ints; the Hamming
+    verify is codegen'd bit_count(xor) over the carried band columns.
+    Buckets larger than ``max_bucket`` (boilerplate floods whose members
+    are guaranteed near-identical) collapse to a hub star, same policy
+    as minhash_lsh_dedup. Bands are stored as non-negative ints, so no
+    64-bit sign-bit issues in Spark or an oracle engine.
+
+    Note: token hashes are md5_60 (60 bits), so band 3's top 4 bits are
+    constant zero — a 60-effective-bit fingerprint, identical in any
+    engine that repeats the walk."""
+    spark_parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    hashed = docs.repartition(spark_parallelism).select(
+        F.col(id_col).alias("doc"), token_hashes_col(F.col(text_col)).alias("__th")
+    )
+    band_cols = [
+        simhash_from_hashes_col(
+            F.col("__th"), bits=band_bits, bit_offset=band_bits * j
+        ).alias(f"b{j}")
+        for j in range(bands)
+    ]
+    sigs = hashed.select("doc", *band_cols)
+    exploded = sigs.select(
+        "doc",
+        *[f"b{j}" for j in range(bands)],
+        F.posexplode(F.array(*[F.col(f"b{j}") for j in range(bands)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    if max_bucket and max_bucket > 0:
+        w = Window.partitionBy("band_idx", "band_val")
+        counted = exploded.withColumn("__c", F.count("*").over(w)).withColumn(
+            "__hub", F.min("doc").over(w)
+        )
+        small = counted.filter(F.col("__c") <= F.lit(max_bucket)).drop(
+            "__c", "__hub"
+        )
+        star = (
+            counted.filter(
+                (F.col("__c") > F.lit(max_bucket)) & (F.col("doc") != F.col("__hub"))
+            )
+            .select(F.col("__hub").alias("a_id"), F.col("doc").alias("b_id"))
+            .distinct()
+            # diverted flood members are reported unverified (null hd):
+            # the bucket guarantee is band equality, not full-fp equality
+            .withColumn("hamming_distance", F.lit(None).cast("int"))
+        )
+    else:
+        small = exploded
+        star = None
+    left = small.select(
+        F.col("doc").alias("a_id"),
+        "band_idx",
+        "band_val",
+        *[F.col(f"b{j}").alias(f"a_b{j}") for j in range(bands)],
+    )
+    right = small.select(
+        F.col("doc").alias("b_id"),
+        "band_idx",
+        "band_val",
+        *[F.col(f"b{j}").alias(f"b_b{j}") for j in range(bands)],
+    )
+    hd = None
+    for j in range(bands):
+        term = F.bit_count(F.col(f"a_b{j}").bitwiseXOR(F.col(f"b_b{j}")))
+        hd = term if hd is None else hd + term
+    pairs = (
+        left.join(right, on=["band_idx", "band_val"], how="inner")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming_distance", hd.cast("int"))
+        .filter(F.col("hamming_distance") <= F.lit(max_hd))
+        .select("a_id", "b_id", "hamming_distance")
+        .distinct()
+    )
+    if star is not None:
+        # a flood pair verified through another (small) band keeps its
+        # exact hd; only pairs seen nowhere else ride the star rows
+        star = star.join(pairs, on=["a_id", "b_id"], how="left_anti")
+        pairs = pairs.unionByName(star)
+    return pairs
 
 
 def ngram_jaccard_pairs(

@@ -172,3 +172,62 @@ def test_lsh_topk_bucket_truncation(spark):
         assert len(ranks) <= 3
     # truncation: only the 10 lowest vec_ids per bucket are candidates
     assert all(r["neighbor_id"] < 10 for r in out)
+
+
+def test_simhash_neardup_banded_equals_bruteforce(spark):
+    """Pigeonhole recall: 4 bands, hd<=3 — the banded join must produce
+    exactly the brute-force pair set (computed here from the collected
+    band values)."""
+    from heritrix_spark.pipeline.dedup import (
+        simhash_from_hashes_col,
+        simhash_neardup_pairs,
+        token_hashes_col,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = [(i, base + f"tail{i % 7}") for i in range(40)]
+    docs += [(100 + i, base) for i in range(4)]  # identical -> hd 0
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r["a_id"], r["b_id"], r["hamming_distance"])
+        for r in simhash_neardup_pairs(df, max_hd=3).collect()
+    }
+
+    hashed = df.select(
+        "doc_id", token_hashes_col(F.col("text")).alias("th")
+    )
+    bandvals = hashed.select(
+        "doc_id",
+        *[
+            simhash_from_hashes_col(F.col("th"), 16, 16 * j).alias(f"b{j}")
+            for j in range(4)
+        ],
+    ).collect()
+    sigs = {r["doc_id"]: tuple(r[f"b{j}"] for j in range(4)) for r in bandvals}
+    expected = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            hd = sum(
+                bin(sigs[a][j] ^ sigs[b][j]).count("1") for j in range(4)
+            )
+            if hd <= 3:
+                expected.add((a, b, hd))
+    assert got == expected
+    assert any(hd == 0 for (_, _, hd) in got)  # the identical block
+
+
+def test_simhash_neardup_flood_cap(spark):
+    """A boilerplate flood larger than max_bucket collapses to a hub
+    star (null hd) instead of a quadratic self-join."""
+    from heritrix_spark.pipeline.dedup import simhash_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, "same boilerplate text everywhere") for i in range(50)],
+        "doc_id long, text string",
+    )
+    rows = simhash_neardup_pairs(df, max_bucket=10).collect()
+    assert len(rows) == 49  # hub -> every other member, no quadratic set
+    assert all(r["a_id"] == 0 for r in rows)
+    assert all(r["hamming_distance"] is None for r in rows)

@@ -2068,3 +2068,75 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# -------------------------------------------------- 42. IP queue assignment
+
+# URL mix exercising the fallback chain: resolved hosts get their cached
+# IP, unresolved fall to the hostname key (https gains '#443', explicit
+# ports translate ':' -> '#').
+_IPQ_URL_SPARK = """
+  select cast(doc_id as bigint) as doc_id,
+    case cast(doc_id % 4 as int)
+      when 0 then 'http://host' || cast(doc_id % 30 as string) || '.example/p'
+      when 1 then 'https://host' || cast(doc_id % 30 as string) || '.example/p'
+      when 2 then 'http://host' || cast(doc_id % 30 as string) || '.example:8080/p'
+      else 'http://user@host' || cast(doc_id % 30 as string) || '.example/p'
+    end as url
+  from documents
+""".strip()
+
+# ServerCache dimension: hosts 0..29, every third host unresolved
+_IPQ_DNS_SPARK = """
+  select 'host' || cast(h as string) || '.example' as host,
+         '10.0.' || cast(h % 250 as string) || '.' || cast(h % 200 + 1 as string) as ip
+  from (select explode(sequence(0, 29)) as h) where h % 3 <> 0
+""".strip()
+
+
+def _ipq_oracle() -> str:
+    return """
+    with u as (
+      select cast(doc_id as bigint) as doc_id,
+        case cast(doc_id % 4 as int)
+          when 0 then 'http://host' || cast(doc_id % 30 as varchar) || '.example/p'
+          when 1 then 'https://host' || cast(doc_id % 30 as varchar) || '.example/p'
+          when 2 then 'http://host' || cast(doc_id % 30 as varchar) || '.example:8080/p'
+          else 'http://user@host' || cast(doc_id % 30 as varchar) || '.example/p'
+        end as url
+      from documents),
+    dns as (
+      select 'host' || cast(h as varchar) || '.example' as host,
+             '10.0.' || cast(h % 250 as varchar) || '.'
+               || cast(h % 200 + 1 as varchar) as ip
+      from (select unnest(generate_series(0, 29)) as h) where h % 3 <> 0),
+    k as (
+      select u.doc_id, u.url,
+        lower(regexp_extract(u.url, '^\\w+://(?:[^/@]+@)?([^/?#:]+)', 1)) as hst,
+        lower(regexp_extract(u.url, '^(\\w+)://', 1)) as scheme,
+        lower(regexp_extract(u.url, '^\\w+://(?:[^/@]+@)?([^/?#]+)', 1)) as auth
+      from u)
+    select k.doc_id, k.url,
+      coalesce(dns.ip,
+        replace(
+          case when k.scheme = 'https' and not regexp_matches(k.auth, '.+:[0-9]+$')
+               then k.auth || ':443' else k.auth end,
+          ':', '#')) as class_key
+    from k left join dns on k.hst = dns.host
+    order by doc_id
+    """
+
+
+@register("ip_queue_assignment", _ipq_oracle())
+def q_ip_queue_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPQueueAssignmentPolicy over a provided ServerCache dimension
+    (IPQueueAssignmentPolicy.java:46-55): dotted-decimal IP when
+    resolved, HostnameQueueAssignmentPolicy fallback otherwise."""
+    from heritrix_spark.operators.mapper import ip_queue_assignment
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    u = spark.sql(_IPQ_URL_SPARK)
+    dns = spark.sql(_IPQ_DNS_SPARK)
+    return ip_queue_assignment(u, dns).orderBy("doc_id")

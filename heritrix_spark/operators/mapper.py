@@ -101,3 +101,39 @@ def write_diversion_logs(
     operators/journal.import_recover_log). One job, one file tree —
     never a per-node loop over filters."""
     diverted.write.mode("overwrite").partitionBy(node_col).parquet(out_dir)
+
+
+def ip_queue_assignment(
+    df: DataFrame,
+    dns: DataFrame,
+    url_col: str = "url",
+    out_col: str = "class_key",
+) -> DataFrame:
+    """IPQueueAssignmentPolicy (engine/.../frontier/
+    IPQueueAssignmentPolicy.java:46-55): the queue key is the target's
+    dotted-decimal IP when the server cache has resolved the URI's
+    host; otherwise it degrades to HostnameQueueAssignmentPolicy.
+
+    ``dns(host, ip)`` is the ServerCache dimension — in the reference a
+    live DNS cache; here a provided table (the live lookup is the only
+    out-of-scope part, same stance as the multimodal codec stub).
+    Spark shape: hosts ≪ URIs, so the cache rides one broadcast hash
+    join; unresolved hosts (absent row or null ip) coalesce into the
+    hostname key — no second pass, no shuffle of the URI side."""
+    from heritrix_spark.functions.surt import hostname_class_key_col
+
+    url = F.col(url_col)
+    host = F.lower(
+        F.regexp_extract(url, r"^\w+://(?:[^/@]+@)?([^/?#:]+)", 1)
+    )
+    cache = dns.select(
+        F.lower(F.col("host")).alias("__host"), F.col("ip").alias("__ip")
+    )
+    return (
+        df.withColumn("__host", host)
+        .join(F.broadcast(cache), on="__host", how="left")
+        .withColumn(
+            out_col, F.coalesce(F.col("__ip"), hostname_class_key_col(url))
+        )
+        .drop("__host", "__ip")
+    )

@@ -94,3 +94,35 @@ def test_divert_and_diversion_logs(spark, tmp_path):
         "remoteB",
     }
     assert back.count() == 2
+
+
+def test_ip_queue_assignment_fallback(spark):
+    """Resolved hosts key by dotted-decimal IP; unresolved (absent or
+    null-ip) hosts fall back to the hostname policy, including the
+    https '#443' and port ':'->'#' forms
+    (IPQueueAssignmentPolicy.java:46-55)."""
+    from heritrix_spark.operators.mapper import ip_queue_assignment
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.example/x",),
+            ("https://b.example/x",),
+            ("http://c.example:8080/x",),
+            ("http://user:pw@a.example/y",),
+            ("https://A.EXAMPLE/z",),
+        ],
+        "url string",
+    )
+    dns = spark.createDataFrame(
+        [("a.example", "10.0.0.1"), ("c.example", None)],
+        "host string, ip string",
+    )
+    got = {
+        r["url"]: r["class_key"]
+        for r in ip_queue_assignment(df, dns).collect()
+    }
+    assert got["http://a.example/x"] == "10.0.0.1"
+    assert got["http://user:pw@a.example/y"] == "10.0.0.1"  # userinfo stripped
+    assert got["https://A.EXAMPLE/z"] == "10.0.0.1"  # case-folded host
+    assert got["https://b.example/x"] == "b.example#443"  # unresolved https
+    assert got["http://c.example:8080/x"] == "c.example#8080"  # null ip

@@ -2140,3 +2140,68 @@ def q_ip_queue_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = spark.sql(_IPQ_URL_SPARK)
     dns = spark.sql(_IPQ_DNS_SPARK)
     return ip_queue_assignment(u, dns).orderBy("doc_id")
+
+
+# -------------------------------------------------- 43. IVF approximate top-k
+
+def _ivf_oracle(n_centroids: int = 8, nprobe: int = 3, k: int = 3) -> str:
+    dot_qc = _DUCK_DOT.format(a="qv", b="cv")
+    n_q = "sqrt(" + _DUCK_DOT.format(a="qv", b="qv") + ")"
+    n_c = "sqrt(" + _DUCK_DOT.format(a="cv", b="cv") + ")"
+    dot_ce = _DUCK_DOT.format(a="cv", b="ev")
+    n_e = "sqrt(" + _DUCK_DOT.format(a="ev", b="ev") + ")"
+    dot_qe = _DUCK_DOT.format(a="qv", b="ev")
+    return f"""
+    with cent as (
+      select row_number() over (order by md5(cast(vec_id as varchar)), vec_id)
+               - 1 as centroid_id,
+             embedding as ev
+      from embeddings
+      qualify row_number() over (order by md5(cast(vec_id as varchar)), vec_id)
+               <= {n_centroids}),
+    asg as (
+      select neighbor_id, cv, centroid_id from (
+        select c.vec_id as neighbor_id, c.embedding as cv, ct.centroid_id,
+          row_number() over (partition by c.vec_id
+            order by {dot_ce} / ({n_c} * {n_e}) desc, ct.centroid_id) as rnk
+        from embeddings c, cent ct) where rnk = 1),
+    probes as (
+      select query_id, qv, centroid_id from (
+        select q.vec_id as query_id, q.embedding as qv, ct.centroid_id,
+          row_number() over (partition by q.vec_id
+            order by {dot_qe} / ({n_q} * {n_e}) desc, ct.centroid_id) as rnk
+        from embeddings q, cent ct where q.vec_id < 5) where rnk <= {nprobe}),
+    scored as (
+      select p.query_id, a.neighbor_id,
+        {dot_qc} / ({n_q} * {n_c}) as cosine
+      from asg a join probes p on a.centroid_id = p.centroid_id
+      where a.neighbor_id <> p.query_id),
+    r as (
+      select query_id, neighbor_id,
+        row_number() over (partition by query_id
+                           order by cosine desc, neighbor_id) as rnk
+      from scored)
+    select cast(query_id as bigint) as query_id,
+           cast(neighbor_id as bigint) as neighbor_id,
+           cast(rnk as int) as rank
+    from r where rnk <= {k} order by query_id, rank
+    """
+
+
+@register("ivf_topk", _ivf_oracle())
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: deterministic pivot coarse
+    quantizer, inverted-list assignment, nprobe-bounded probing —
+    the ANN scale path where the corpus shuffles once by centroid_id
+    and never all-pairs."""
+    from heritrix_spark.pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, n_centroids=8, nprobe=3
+    )
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "rank",
+    ).orderBy("query_id", "rank")

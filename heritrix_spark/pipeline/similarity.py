@@ -156,3 +156,121 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int"), F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: the ``n_centroids``
+    corpus vectors ranked first by md5 of their id — a reproducible
+    pseudo-random pivot sample (no RNG state, no iterative k-means, and
+    an oracle engine repeats the identical walk). A Lloyd refinement
+    would be repeated assign + groupBy-average passes behind the same
+    (centroid_id, cent_vec) contract; pivots are the IVF-flat baseline.
+    Returns (centroid_id [0..n), cent_vec)."""
+    w = Window.orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_centroids)
+        .select(
+            (F.col("__r") - 1).cast("int").alias("centroid_id"),
+            F.col(vec_col).alias("cent_vec"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the classic ANN scale
+    path next to LSH: corpus vectors are listed under their nearest
+    coarse centroid; a query scores only the lists of its ``nprobe``
+    nearest centroids.
+
+    Physical shape at 10^9 vectors: the centroid table is K rows —
+    both the corpus assignment and the query probe are broadcast hash
+    joins + a max_by/min-struct argmax (map-side combinable, corpus
+    never shuffles by vector); the candidate join is corpus-list ×
+    probed-query keyed on centroid_id (the only shuffle, bounded by
+    list sizes); exact cosine + windowed rank inside candidates.
+    Recall < 1 by design; brute_force_topk is the oracle."""
+    cent = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    # invert: each corpus vector under its nearest centroid (argmax by
+    # cosine, centroid_id tiebreak) — one broadcast join, one aggregate
+    assigned = (
+        c.join(F.broadcast(cent))
+        .select(
+            "neighbor_id",
+            "c_vec",
+            "centroid_id",
+            cosine_col(F.col("c_vec"), F.col("cent_vec")).alias("__cos"),
+        )
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(F.col("__cos").alias("c"), (-F.col("centroid_id")).alias("t")),
+            ).alias("centroid_id"),
+            F.first("c_vec").alias("c_vec"),
+        )
+    )
+    # probe: nprobe nearest centroids per query
+    probes = (
+        q.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_vec",
+            "centroid_id",
+            cosine_col(F.col("q_vec"), F.col("cent_vec")).alias("__cos"),
+        )
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("__cos"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    cand = assigned.join(F.broadcast(probes), on="centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    # (query, neighbor) is already unique: each corpus vector lives in
+    # exactly one inverted list — no dedup shuffle needed (unlike LSH's
+    # multi-table union)
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

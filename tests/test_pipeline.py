@@ -231,3 +231,39 @@ def test_simhash_neardup_flood_cap(spark):
     assert len(rows) == 49  # hub -> every other member, no quadratic set
     assert all(r["a_id"] == 0 for r in rows)
     assert all(r["hamming_distance"] is None for r in rows)
+
+
+def test_ivf_topk_full_probe_equals_bruteforce(spark):
+    """With nprobe = n_centroids every inverted list is probed, so IVF
+    must reproduce the exact brute-force ranking; with nprobe=1 it
+    still returns k rows per query (approximate recall)."""
+    import math
+    import random
+
+    from heritrix_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    rng = random.Random(3)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 4)
+
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(emb, queries, k=4).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(
+            emb, queries, k=4, n_centroids=6, nprobe=6
+        ).collect()
+    }
+    assert full == exact
+
+    narrow = ivf_topk(emb, queries, k=4, n_centroids=6, nprobe=1).collect()
+    per_q = {}
+    for r in narrow:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == {0, 1, 2, 3}
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())

@@ -2205,3 +2205,67 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").cast("long"),
         "rank",
     ).orderBy("query_id", "rank")
+
+
+# -------------------------------------------------- 44. embedding-cosine near-dup
+
+def _plane_literal_sql(plane: int, dim: int = 64) -> str:
+    """The md5-derived ±1 hyperplane as a SQL literal array — the exact
+    values pipeline.similarity._plane_component computes in Spark
+    (int(md5(f'plane{p}|{i}')[:15], 16) % 2)."""
+    import hashlib
+
+    comps = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"plane{plane}|{i}".encode()).hexdigest()[:15], 16)
+        comps.append("1.0" if h % 2 == 0 else "-1.0")
+    return "[" + ",".join(comps) + "]"
+
+
+def _duck_lsh_bucket(table: int, vec: str = "embedding", n_planes: int = 8) -> str:
+    terms = []
+    for p in range(n_planes):
+        d = _DUCK_DOT.format(a=vec, b=_plane_literal_sql(table * 1000 + p))
+        terms.append(f"case when ({d}) >= 0 then {1 << p} else 0 end")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _embedding_neardup_oracle(threshold: float = 0.3) -> str:
+    dot_ab = _DUCK_DOT.format(a="ea", b="eb")
+    na = "sqrt(" + _DUCK_DOT.format(a="ea", b="ea") + ")"
+    nb = "sqrt(" + _DUCK_DOT.format(a="eb", b="eb") + ")"
+    return f"""
+    with b as (select vec_id, embedding,
+        {_duck_lsh_bucket(0)} as b0, {_duck_lsh_bucket(1)} as b1
+      from embeddings),
+    cand as (
+      select distinct a.vec_id as a_id, b.vec_id as b_id,
+             a.embedding as ea, b.embedding as eb
+      from b a join b b
+        on a.vec_id < b.vec_id and (a.b0 = b.b0 or a.b1 = b.b1)),
+    sc as (select a_id, b_id, {dot_ab} / ({na} * {nb}) as cosine from cand)
+    select cast(a_id as bigint) as a_id, cast(b_id as bigint) as b_id,
+           cast(floor(cosine * 1e6) as bigint) as cosine_micro
+    from sc where cosine >= {threshold} order by a_id, b_id
+    """
+
+
+@register("embedding_neardup_pairs", _embedding_neardup_oracle())
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via deterministic hyperplane-LSH
+    candidate buckets + exact cosine filter (pipeline/similarity.py
+    lsh_neardup_pairs); the oracle replays the identical md5-derived
+    planes as SQL literals, so bucket membership and the survivor set
+    are bit-equal across engines."""
+    from heritrix_spark.pipeline.similarity import lsh_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        lsh_neardup_pairs(emb, dim=64, threshold=0.3, n_planes=8, n_tables=2)
+        .select(
+            F.col("a_id").cast("long"),
+            F.col("b_id").cast("long"),
+            "cosine_micro",
+        )
+        .orderBy("a_id", "b_id")
+    )

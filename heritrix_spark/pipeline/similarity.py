@@ -274,3 +274,57 @@ def ivf_topk(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def lsh_neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates are corpus
+    pairs sharing a random-hyperplane LSH bucket in ANY table; survivors
+    have exact cosine >= threshold. The brief's 'embedding-cosine
+    near-dup' dedup entry as a bucket self-join — candidate work is
+    sum(|bucket|^2) per table, never the |corpus|^2 cross product.
+    Recall is the standard LSH guarantee (a near pair collides in >= 1
+    of n_tables with high probability for high cosine); the bucketing
+    is deterministic (md5-derived planes), so an oracle engine can
+    replay the exact same candidate set."""
+    c = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    cand = None
+    for t in range(n_tables):
+        cb = c.withColumn("bucket", lsh_bucket_col(F.col("__v"), dim, n_planes, t))
+        if max_bucket is not None:
+            wb = Window.partitionBy("bucket").orderBy(F.asc("__id"))
+            cb = (
+                cb.withColumn("__br", F.row_number().over(wb))
+                .filter(F.col("__br") <= F.lit(max_bucket))
+                .drop("__br")
+            )
+        left = cb.select(
+            F.col("__id").alias("a_id"), F.col("__v").alias("a_vec"), "bucket"
+        )
+        right = cb.select(
+            F.col("__id").alias("b_id"), F.col("__v").alias("b_vec"), "bucket"
+        )
+        pairs = (
+            left.join(right, on="bucket")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .drop("bucket")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    return (
+        cand.dropDuplicates(["a_id", "b_id"])
+        .withColumn("cosine", cosine_col(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select(
+            "a_id",
+            "b_id",
+            F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_micro"),
+        )
+    )

@@ -267,3 +267,24 @@ def test_ivf_topk_full_probe_equals_bruteforce(spark):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert set(per_q) == {0, 1, 2, 3}
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_lsh_neardup_pairs_identical_vectors(spark):
+    """Identical vectors share every bucket and survive any threshold;
+    dissimilar ones never reach the filter unless a bucket collides,
+    and a cap bounds degenerate buckets."""
+    import random
+
+    from heritrix_spark.pipeline.similarity import lsh_neardup_pairs
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = [(0, base), (1, base), (2, base)]
+    rows += [(10 + i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["a_id"], r["b_id"]): r["cosine_micro"]
+        for r in lsh_neardup_pairs(emb, dim=16, threshold=0.99).collect()
+    }
+    assert set(got) >= {(0, 1), (0, 2), (1, 2)}
+    assert all(v >= 990_000 for v in got.values())

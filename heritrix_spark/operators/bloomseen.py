@@ -152,11 +152,18 @@ def bloom_prefilter(
     hit = F.col("__bloom").isNotNull()
     for c in checks:
         hit = hit & c
-    probed = candidates.join(
-        F.broadcast(dense.withColumnRenamed("bloom", "__bloom")),
-        on=shard,
-        how="left",
-    ).withColumn("__hit", hit)
+    probed = (
+        candidates.join(
+            F.broadcast(dense.withColumnRenamed("bloom", "__bloom")),
+            on=shard,
+            how="left",
+        )
+        .withColumn("__hit", hit)
+        # project the bloom word array away BEFORE any materialization:
+        # carrying bits//8 bytes per candidate row through a persist or
+        # shuffle would dwarf the join it prefilters
+        .select(*cols, "__hit")
+    )
     if persist_probe:
         # the probe output fans out to several consumers (novel branch,
         # exact-join branch, hit-shard census) — persist so the upstream
@@ -176,36 +183,103 @@ def dedup_candidates_bloom(
     force_col: str = "force_fetch",
     n_shards: int = 64,
     bits: int = DEFAULT_BITS,
+    prune_seen_shards: bool = False,
 ) -> DataFrame:
     """Bloom-prefiltered ``add``/``addForce``: same contract and same
-    results as :func:`heritrix_spark.operators.seen.dedup_candidates`,
-    with the exact anti-join restricted to bloom hits and the seen-side
-    scan pruned to shards that actually have hits."""
+    results as :func:`heritrix_spark.operators.seen.dedup_candidates`.
+
+    The prefilter is FUSED into the exact anti-join rather than splitting
+    the batch: a candidate whose bloom probe misses gets a NULL join key,
+    and a left-anti join keeps unmatched rows — so definite-novel rows
+    flow through the very same join node without ever probing (or, under
+    sort-merge at scale, without their key competing in the merge). One
+    linear pipeline: no candidate split, no union, no persist, no extra
+    driver job — the bloom costs one broadcast of the dense sidecar plus
+    codegen'd bit math per row. Membership is still decided exactly for
+    every bloom hit (false positives resolve in the join), so results
+    never differ from the plain path (tests/test_bloomseen.py).
+
+    ``prune_seen_shards=True`` additionally collects the hit-shard list
+    (≤ n_shards ints) and statically filters the seen side with
+    ``shard IN (...)`` — a partition-pruning predicate when the seen
+    table is hive/bucket-partitioned by shard. That costs one extra
+    driver job to materialize the probe column first, which only pays
+    off when untouched shard directories are plausible: batches small
+    or clustered relative to ``n_shards`` (e.g. a focused recrawl), or
+    very large seen tables where skipping a shard saves real I/O.
+    """
     from heritrix_spark.operators.seen import shard_col
 
     had_shard = "shard" in candidates.columns
     if not had_shard:
         candidates = candidates.withColumn("shard", shard_col(key, n_shards))
+    cols = candidates.columns
     if force_col in candidates.columns:
         forced = candidates.filter(F.col(force_col))
         unforced = candidates.filter(~F.col(force_col))
     else:
         forced = None
         unforced = candidates
-    certain_novel, maybe_seen = bloom_prefilter(
-        unforced, blooms, key=key, bits=bits, persist_probe=True
-    )
-    # seen-side shard pruning: only shards with ≥1 bloom hit can matter.
-    # The hit-shard list is bounded by n_shards (a per-shard boolean,
-    # like the existing per-bucket count maps) — collecting it turns the
-    # filter into a static partition predicate the parquet reader prunes
-    # files with.
-    hit_shards = [r["shard"] for r in maybe_seen.select("shard").distinct().collect()]
-    seen_keys = url_seen.select("shard", key)
-    if len(hit_shards) < n_shards:
-        seen_keys = seen_keys.filter(F.col("shard").isin(hit_shards))
-    survived = maybe_seen.join(seen_keys, on=["shard", key], how="left_anti")
-    out = certain_novel.unionByName(survived)
+
+    if blooms is None:
+        out = unforced.join(
+            url_seen.select("shard", key), on=["shard", key], how="left_anti"
+        )
+    else:
+        dense = _dense(blooms, bits)
+        pos = _positions(F.col(key), bits)
+        checks = [
+            (
+                F.element_at(F.col("__bloom"), ((p / 64).cast("int") + 1))
+                .bitwiseAND(
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        F.pmod(p, F.lit(64)).cast("int"),
+                    )
+                )
+                != 0
+            )
+            for p in pos
+        ]
+        hit = F.col("__bloom").isNotNull()
+        for c in checks:
+            hit = hit & c
+        probed = (
+            unforced.join(
+                F.broadcast(dense.withColumnRenamed("bloom", "__bloom")),
+                on="shard",
+                how="left",
+            )
+            # project the bloom word array away immediately: carrying
+            # bits//8 bytes per row through a shuffle or cache would
+            # dwarf the join this prefilters
+            .select(*cols, hit.alias("__hit"))
+        )
+        seen_keys = url_seen.select("shard", key)
+        if prune_seen_shards:
+            probed = probed.persist()
+            hit_shards = [
+                r["shard"]
+                for r in probed.filter(F.col("__hit"))
+                .select("shard")
+                .distinct()
+                .collect()
+            ]
+            if len(hit_shards) < n_shards:
+                seen_keys = seen_keys.filter(F.col("shard").isin(hit_shards))
+        # NULL probe key for definite-novel rows: an anti-join keeps
+        # rows with no match, and NULL never equals a seen key, so the
+        # bloom-miss rows pass straight through the join node
+        out = (
+            probed.withColumn("__k", F.when(F.col("__hit"), F.col(key)))
+            .join(
+                seen_keys.withColumnRenamed(key, "__k"),
+                on=["shard", "__k"],
+                how="left_anti",
+            )
+            .select(*cols)
+        )
     if forced is not None:
-        out = out.unionByName(forced)
+        out = out.unionByName(forced.select(*cols))
     return out if had_shard else out.drop("shard")

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from heritrix_spark.constants import PolitenessConfig
-from heritrix_spark.plans.round import run_round, schedule_seeds
+from heritrix_spark.plans.round import finalize_metrics, run_round, schedule_seeds
 from heritrix_spark.store.snapstore import SnapStore
 
 
@@ -266,6 +266,16 @@ def crawl(
                     round_no,
                 )
             )
+        # the metrics aggregate reads only the persisted fetched set —
+        # collect it alongside the writes instead of as a serial driver
+        # action before them
+        round_metrics = dict(result.metrics)
+        if result.metrics_agg is not None:
+            writes.append(
+                lambda: round_metrics.update(
+                    finalize_metrics(result.metrics, result.metrics_agg.first())
+                )
+            )
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=len(writes)) as pool:
@@ -274,7 +284,7 @@ def crawl(
         now_ms, max_ordinal = result.now_ms, result.max_ordinal
         # a re-run round after a crash replaces its own metrics entry
         metrics_log = [m for m in metrics_log if m["round"] < round_no]
-        metrics_log.append(result.metrics)
+        metrics_log.append(round_metrics)
         store.commit_round(
             round_no,
             {

@@ -145,6 +145,11 @@ class RoundResult:
     fetch_log: DataFrame | None = None
     lineage: DataFrame | None = None
     metrics: dict | None = None
+    # lazy 1-row aggregate over the (persisted) fetched set: crawl()
+    # collects it CONCURRENTLY with the round's write jobs instead of
+    # paying a serial driver action before the writes start; merge with
+    # `metrics` (the statically-known fields) via finalize_metrics()
+    metrics_agg: DataFrame | None = None
     future_uris: DataFrame | None = None
     # delta-store protocol (O(delta) per-round writes — the Iceberg
     # MERGE shape; the reference's BdbMultipleWorkQueues mutates its
@@ -155,6 +160,22 @@ class RoundResult:
     # ...and the ordinals REMOVED this round (positional-delete analog);
     # a reader resolves `live = deltas anti tombstones-newer-than-row`.
     emitted_ordinals: DataFrame | None = None
+
+
+def finalize_metrics(base: dict, row) -> dict:
+    """Merge the statically-known metric fields with the collected
+    1-row ``metrics_agg`` result."""
+    out = dict(base)
+    for k in (
+        "emitted",
+        "succeeded",
+        "failed",
+        "disregarded",
+        "retried",
+        "rescheduled",
+    ):
+        out[k] = int(row[k] or 0)
+    return out
 
 
 def schedule_seeds(
@@ -830,27 +851,23 @@ def run_round(
     def _n(d: str):
         return F.sum((F.col("disposition") == d).cast("long"))
 
-    mrow = fetched.agg(
+    metrics_agg = fetched.agg(
         F.count("*").alias("emitted"),
         _n("success").alias("succeeded"),
         _n("failure").alias("failed"),
         _n("disregard").alias("disregarded"),
         _n("retry").alias("retried"),
-        F.sum(reschedulable.cast("long")).alias("rescheduled"),
-    ).first()
+        (
+            F.sum(reschedulable.cast("long"))
+            if cfg.recrawl_interval_ms >= 0
+            else F.lit(0).cast("long")
+        ).alias("rescheduled"),
+    )
     metrics = {
         "round": round_no,
         "now_ms": now,
-        "emitted": int(mrow["emitted"] or 0),
-        "succeeded": int(mrow["succeeded"] or 0),
-        "failed": int(mrow["failed"] or 0),
-        "disregarded": int(mrow["disregarded"] or 0),
-        "retried": int(mrow["retried"] or 0),
         "novel_scheduled": int(n_novel),
         "max_ordinal": int(new_max_ordinal),
-        "rescheduled": int(mrow["rescheduled"] or 0)
-        if cfg.recrawl_interval_ms >= 0
-        else 0,
     }
     return RoundResult(
         done=False,
@@ -862,6 +879,7 @@ def run_round(
         fetch_log=fetch_log,
         lineage=lineage,
         metrics=metrics,
+        metrics_agg=metrics_agg,
         future_uris=futures_next,
         frontier_delta=frontier_delta,
         emitted_ordinals=emitted_ordinals,

@@ -9,26 +9,35 @@ which syncs the deferred-write BDB then writes a JSON stamp). No Iceberg
 runtime jar ships in this sandbox, so SnapStore reproduces the same
 commit protocol over plain parquet directories:
 
-- every table version is written to ``<root>/<table>/r<round>/`` first,
 - ``MANIFEST.json`` is replaced last via atomic ``os.replace``,
 - a reader only ever follows the manifest, so a kill at any point
-  leaves the last committed round intact (orphan dirs from a partial
-  round are simply overwritten on re-run — writes are idempotent per
-  round).
+  leaves the last committed round intact (orphan partitions from a
+  partial round are excluded by the manifest filter and simply
+  overwritten on re-run — writes are idempotent per round).
 
 Two table modes:
-- ``full``  — the round's directory holds the complete table
+
+- ``full``  — ``<root>/<table>/r<round>/`` holds the complete table
   (host_state, future_uris: small per-host / per-seed tables),
-- ``delta`` — the table is the union of all committed rounds'
-  directories (frontier, url_seen, url_seen_bloom, fetch_log, lineage:
-  append-only — at 10^10 scale neither the seen set nor the frontier
-  is ever rewritten per round, only appended, mirroring the
-  reference's insert-only BdbUriUniqFilter B-tree and in-place
-  BdbMultipleWorkQueues mutation). Frontier rows carry a ``tombstone``
-  flag: the live view is ``rows LEFT ANTI JOIN tombstones ON (ordinal,
-  delta_round)`` (Iceberg merge-on-read positional deletes, flagged
-  in-table so a round is one write job); ``write_delta(...,
-  reset=True)`` is the periodic compaction (rewrite-data-files).
+- ``delta`` — ONE hive-partitioned root ``<root>/<table>/`` where each
+  round appends a ``__delta_round=N`` partition via dynamic partition
+  overwrite (frontier, url_seen, url_seen_bloom, fetch_log, lineage:
+  append-only — at 10^10 scale neither the seen set nor the frontier is
+  ever rewritten per round, only appended, mirroring the reference's
+  insert-only BdbUriUniqFilter B-tree and in-place BdbMultipleWorkQueues
+  mutation). The committed state is the root scanned ONCE with
+  ``__delta_round IN (manifest rounds)`` — a single relation whose
+  partition filter prunes uncommitted/expired rounds, instead of a
+  union of per-round relations whose plan (and schema-inference footer
+  reads) grew linearly with the round count. Table schemas are pinned
+  in a ``_SCHEMA.json`` sidecar written with the first delta, so reads
+  never infer. Frontier rows carry a ``tombstone`` flag: the live view
+  is ``rows LEFT ANTI JOIN tombstones ON (ordinal, delta_round)``
+  (Iceberg merge-on-read positional deletes, flagged in-table so a
+  round is one write job); ``write_delta(..., reset=True)`` is the
+  periodic compaction (rewrite-data-files) — on commit the delta list
+  collapses to the compaction round and superseded partitions are
+  vacuumed (expire-snapshots).
 
 Resume = read MANIFEST.json and continue from ``round + 1``
 (bit-identical: all round inputs are functions of committed state).
@@ -43,8 +52,12 @@ import threading
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 MANIFEST = "MANIFEST.json"
+SCHEMA_SIDECAR = "_SCHEMA.json"  # leading "_": invisible to Spark's file lister
+DELTA_COL = "__delta_round"  # partition column; never collides with data cols
 
 FULL_TABLES = ("host_state", "future_uris")
 DELTA_TABLES = (
@@ -84,11 +97,13 @@ class SnapStore:
         table writes for the round have finished."""
         prev = self.manifest() or {"tables": {}}
         tables = dict(prev.get("tables", {}))
+        compacted: list[tuple[str, list[int]]] = []
         for t, mode in list(self._staged.items()):
             if mode == "full":
                 tables[t] = {"mode": "full", "round": round_no}
             elif mode == "delta_reset":
                 tables[t] = {"mode": "delta", "rounds": [round_no]}
+                compacted.append((t, [round_no]))
             else:
                 entry = tables.get(t, {"mode": "delta", "rounds": []})
                 if entry.get("mode") == "full":
@@ -106,11 +121,20 @@ class SnapStore:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, os.path.join(self.root, MANIFEST))
         self._staged = {}
+        # expire-snapshots analog: superseded partitions of a compacted
+        # table are dead to every future reader (the manifest no longer
+        # lists them) — drop the directories so the file lister stays
+        # O(live partitions)
+        for t, keep in compacted:
+            self._vacuum(t, keep)
 
     # -------------------------------------------------------------- tables
 
     def _dir(self, table: str, round_no: int) -> str:
         return os.path.join(self.root, table, f"r{round_no:06d}")
+
+    def _delta_root(self, table: str) -> str:
+        return os.path.join(self.root, table)
 
     def write_full(self, df: DataFrame, table: str, round_no: int) -> None:
         path = self._dir(table, round_no)
@@ -126,55 +150,84 @@ class SnapStore:
         partition_by: tuple[str, ...] = (),
         reset: bool = False,
     ) -> None:
-        """``partition_by`` (e.g. ``("shard",)`` for url_seen) is the
-        plain-parquet analog of Iceberg ``bucket(canon_url)`` partitioning:
-        readers joining on the partition column get file-level pruning,
-        and at production scale the same layout enables storage-partitioned
-        joins (no seen-side shuffle).
+        """Append round ``round_no``'s rows as the ``__delta_round=N``
+        partition of the table root (dynamic partition overwrite: a
+        crashed round's partial partition is replaced wholesale on
+        re-run, other rounds untouched).
+
+        ``partition_by`` (e.g. ``("shard",)`` for url_seen) nests below
+        the round partition — the plain-parquet analog of Iceberg
+        ``bucket(canon_url)`` partitioning: readers joining on the
+        partition column get file-level pruning, and at production scale
+        the same layout enables storage-partitioned joins (no seen-side
+        shuffle).
 
         ``reset=True`` marks this write as a compaction: on commit the
-        table's delta list collapses to just this round (the Iceberg
-        rewrite-data-files / expire-snapshots analog). Readers before the
-        commit still follow the old manifest — compaction is atomic."""
-        path = self._dir(table, round_no)
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(path)
+        table's delta list collapses to just this round and superseded
+        partitions are vacuumed (the Iceberg rewrite-data-files /
+        expire-snapshots analog). Readers before the commit still follow
+        the old manifest — compaction is atomic."""
+        root = self._delta_root(table)
+        os.makedirs(root, exist_ok=True)
+        # true per-round idempotency: a re-run round replaces its
+        # partition WHOLESALE, even sub-partitions (e.g. seen shards) a
+        # crashed attempt wrote but this attempt doesn't — dynamic
+        # overwrite alone only replaces partitions present in new data
+        stale = os.path.join(root, f"{DELTA_COL}={round_no}")
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+        sidecar = os.path.join(root, SCHEMA_SIDECAR)
+        if not os.path.exists(sidecar):
+            tmp = sidecar + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(df.schema.json())
+            os.replace(tmp, sidecar)
+        (
+            df.withColumn(DELTA_COL, F.lit(round_no).cast("int"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(DELTA_COL, *partition_by)
+            .parquet(root)
+        )
         with self._stage_lock:
             self._staged[table] = "delta_reset" if reset else "delta"
 
     def read(self, table: str) -> DataFrame | None:
-        """Read the committed state of a table (manifest-driven)."""
+        """Read the committed state of a table (manifest-driven).
+
+        Delta tables come back as ONE schema-pinned relation over the
+        table root with a partition filter on the committed rounds —
+        plan size and read-side planning cost are O(1) in the round
+        count (the lister walks only live partitions thanks to the
+        commit-time vacuum)."""
         m = self.manifest()
         if not m or table not in m["tables"]:
             return None
         entry = m["tables"][table]
         if entry["mode"] == "full":
             return self.spark.read.parquet(self._dir(table, entry["round"]))
-        paths = [self._dir(table, r) for r in entry["rounds"]]
-        # one read per delta dir, unioned: partitioned deltas (url_seen)
-        # are each their own partition-discovery root, so a single
-        # multi-path scan would refuse mixed roots (KD009). Dirs with no
-        # data files (a round that scheduled nothing novel writes an
-        # empty partitioned delta) are skipped — they carry no rows and
-        # would fail schema inference. Iceberg subsumes all of this with
-        # real snapshot/manifest reads at scale.
-        paths = [p for p in paths if self._has_data_files(p)]
-        if not paths:
+        root = self._delta_root(table)
+        sidecar = os.path.join(root, SCHEMA_SIDECAR)
+        if not os.path.exists(sidecar):
             return None
-        dfs = [self.spark.read.parquet(p) for p in paths]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return out
+        with open(sidecar) as f:
+            schema = T.StructType.fromJson(json.load(f))
+        if DELTA_COL not in schema.fieldNames():
+            schema = schema.add(DELTA_COL, T.IntegerType())
+        df = self.spark.read.schema(schema).parquet(root)
+        rounds = list(entry.get("rounds", []))
+        if not rounds:
+            return None
+        return df.filter(F.col(DELTA_COL).isin(rounds)).drop(DELTA_COL)
 
-    @staticmethod
-    def _has_data_files(path: str) -> bool:
-        for _, _, files in os.walk(path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+    def _vacuum(self, table: str, keep_rounds: list[int]) -> None:
+        root = self._delta_root(table)
+        if not os.path.isdir(root):
+            return
+        keep = {f"{DELTA_COL}={r}" for r in keep_rounds}
+        for name in os.listdir(root):
+            if name.startswith(f"{DELTA_COL}=") and name not in keep:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

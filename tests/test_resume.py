@@ -62,11 +62,24 @@ def test_resume_mid_round_partial_writes(spark, fx_paths, tmp_path):
     store_root = str(tmp_path / "mid")
     part = crawl(spark, store_root, docs, seeds, robots, cfg, stop_after_round=2)
 
-    # simulate a crash mid-round-3: write garbage into the round-3 dirs
-    # WITHOUT committing the manifest
+    # simulate a crash mid-round-3: round-3 partitions written through
+    # the same write paths the crawler uses (same schema/partition spec
+    # — a real crash leaves partial versions of THESE writes), but the
+    # manifest is never committed
+    from pyspark.sql import functions as F
+
+    from heritrix_spark.operators.seen import shard_col
+
     orphan = part.store.read("frontier").limit(1)
-    part.store.write_full(orphan, "frontier", 3)
-    part.store.write_delta(orphan.select("canon_url"), "url_seen", 3)
+    part.store.write_delta(orphan, "frontier", 3)
+    part.store.write_delta(
+        orphan.select("canon_url").withColumn(
+            "shard", shard_col("canon_url", cfg.n_seen_shards)
+        ),
+        "url_seen",
+        3,
+        partition_by=("shard",),
+    )
     part.store._staged = {}  # crash before commit_round
 
     resumed = crawl(spark, store_root, docs, seeds, robots, cfg)

@@ -224,23 +224,14 @@ def schedule_seeds(
     return frontier, url_seen, host_state, n
 
 
-def run_round(
-    spark: SparkSession,
-    round_no: int,
-    now_prev: int,
-    max_ordinal: int,
-    frontier: DataFrame,
-    host_state: DataFrame,
-    url_seen: DataFrame,
-    docs: DataFrame,
-    robots: DataFrame,
-    seed_surt_prefixes: list[str],
-    cfg: PolitenessConfig = PolitenessConfig(),
-    future_uris: DataFrame | None = None,
-    seen_blooms: DataFrame | None = None,
-    host_config: DataFrame | None = None,
-) -> RoundResult:
-    # ---- clock + ready-host selection (spec step 1)
+def eligible_queues(
+    frontier: DataFrame, host_state: DataFrame, cfg: PolitenessConfig
+) -> DataFrame:
+    """Non-retired queues below the precedence floor, with ``__qprec``.
+
+    Shared by the round-start event probe and the post-future-injection
+    recompute so the two can never drift (precedence floor:
+    WorkQueueFrontier.java:164-170, gating :594,820)."""
     from heritrix_spark.operators.prepare import (
         base_queue_precedence_col,
         highest_uri_queue_precedence_col,
@@ -259,11 +250,29 @@ def run_round(
         qprec = success_counts_queue_precedence_col(F.col("succeeded"), cfg)
     else:
         qprec = base_queue_precedence_col(cfg)
-    # precedence floor: queues at/above the floor are never crawled
-    # (WorkQueueFrontier.java:164-170, gating :594,820)
-    eligible = eligible.withColumn("__qprec", qprec.cast("int")).filter(
+    return eligible.withColumn("__qprec", qprec.cast("int")).filter(
         F.col("__qprec") < F.lit(cfg.precedence_floor)
     )
+
+
+def run_round(
+    spark: SparkSession,
+    round_no: int,
+    now_prev: int,
+    max_ordinal: int,
+    frontier: DataFrame,
+    host_state: DataFrame,
+    url_seen: DataFrame,
+    docs: DataFrame,
+    robots: DataFrame,
+    seed_surt_prefixes: list[str],
+    cfg: PolitenessConfig = PolitenessConfig(),
+    future_uris: DataFrame | None = None,
+    seen_blooms: DataFrame | None = None,
+    host_config: DataFrame | None = None,
+) -> RoundResult:
+    # ---- clock + ready-host selection (spec step 1)
+    eligible = eligible_queues(frontier, host_state, cfg)
     # one driver action probes both event sources (frontier wake times
     # and futures, checkFutures :731-748): cross-join of two single-row
     # aggregates — halves the per-round fixed job overhead
@@ -300,21 +309,7 @@ def run_round(
         futures_next = future_uris.filter(F.col("reschedule_time") > F.lit(now))
         frontier = frontier.unionByName(injected_futures)
         # recompute eligibility for hosts that only have future rows
-        queue_stats = frontier.groupBy("class_key").agg(
-            F.min("precedence").alias("__min_uri_prec")
-        )
-        eligible = queue_stats.join(
-            host_state.filter(~F.col("retired")), on="class_key", how="inner"
-        )
-        if cfg.queue_precedence_policy == "highest_uri":
-            qprec = highest_uri_queue_precedence_col(F.col("__min_uri_prec"), cfg)
-        elif cfg.queue_precedence_policy == "success_counts":
-            qprec = success_counts_queue_precedence_col(F.col("succeeded"), cfg)
-        else:
-            qprec = base_queue_precedence_col(cfg)
-        eligible = eligible.withColumn("__qprec", qprec.cast("int")).filter(
-            F.col("__qprec") < F.lit(cfg.precedence_floor)
-        )
+        eligible = eligible_queues(frontier, host_state, cfg)
 
     ready = eligible.filter(F.col("wake_time") <= F.lit(now))
     if cfg.max_hosts_per_round > 0:

@@ -1075,6 +1075,126 @@ QUERIES["crawl_rounds"] = q_crawl_rounds
 ORACLE_SQL["crawl_rounds"] = _crawl_rounds_oracle()
 
 
+# ------------------------------------------- 22b. span outlink extraction
+
+# richer than _CRAWL_FIXTURE (more links per doc) and capped low so the
+# outlink cap + discarded count are exercised on both sides
+_EXTRACT_FIXTURE = dict(hosts=8, docs_per_host=6, links_per_doc=9, seed=11)
+_EXTRACT_CAP = 7
+
+
+def q_extract_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint's per-row invariant, as a driver row: span-sequence
+    equality (kind, text, media_ref, order) of extracted outlinks.
+    One row per surviving outlink of every fixture document —
+    link_seq = span_pos * 2^20 + pos-in-span encodes the order law
+    (ExtractorHTML.java processLink :600 / processEmbed :628; cap:
+    AbstractFrontier.java:138, CrawlURI.incrementDiscardedOutLinks
+    :1705). The oracle is an independent pure-Python twin of the same
+    law exported to parquet (no shared extraction code: Catalyst
+    posexplode/regexp_extract_all vs re.findall loop)."""
+    from heritrix_spark.fixtures.gen import generate
+    from heritrix_spark.operators.extract import extract_outlinks
+
+    fx = generate(**_EXTRACT_FIXTURE)
+    rows = []
+    for i, (doc_id, spans) in enumerate(sorted(fx.doc_map().items()), start=1):
+        rows.append(
+            (
+                doc_id,
+                i,
+                200,
+                "",
+                [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans],
+            )
+        )
+    fetched = spark.createDataFrame(
+        rows,
+        schema=(
+            "url string, ordinal long, fetch_status int, hops_path string, "
+            "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        ),
+    )
+    links = extract_outlinks(fetched, max_outlinks=_EXTRACT_CAP)
+    return links.select(
+        "via",
+        F.col("link_seq").cast("long").alias("link_seq"),
+        "target",
+        "hop_char",
+        F.col("discarded_outlinks").cast("int").alias("discarded_outlinks"),
+    ).orderBy("via", "link_seq")
+
+
+def _extract_outlinks_oracle() -> str:
+    """Pure-Python extraction twin (same law as oracle/simulator.py's
+    inline extraction), exported once to parquet for DuckDB."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from heritrix_spark.fixtures.gen import generate
+    from heritrix_spark.oracle.simulator import _URL_RE
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "hx_extract_outlinks_oracle_h{hosts}d{docs_per_host}"
+        "l{links_per_doc}s{seed}c".format(**_EXTRACT_FIXTURE)
+        + str(_EXTRACT_CAP)
+        + ".parquet",
+    )
+    if not os.path.exists(path):
+        fx = generate(**_EXTRACT_FIXTURE)
+        out = []
+        for doc_id, spans in sorted(fx.doc_map().items()):
+            links: list[tuple[int, str, str]] = []
+            for span_pos, sp in enumerate(spans):
+                if sp["kind"] == "text":
+                    for j, u in enumerate(_URL_RE.findall(sp["text"] or "")):
+                        links.append((span_pos * (1 << 20) + j, u, "L"))
+                elif sp["kind"] == "script":
+                    for j, u in enumerate(_URL_RE.findall(sp["text"] or "")):
+                        links.append((span_pos * (1 << 20) + j, u, "X"))
+                elif sp["kind"] == "redirect":
+                    if sp["media_ref"]:
+                        links.append((span_pos * (1 << 20), sp["media_ref"], "R"))
+                else:
+                    if sp["media_ref"]:
+                        links.append((span_pos * (1 << 20), sp["media_ref"], "E"))
+            discarded = max(len(links) - _EXTRACT_CAP, 0)
+            for seq, target, hop in links[:_EXTRACT_CAP]:
+                out.append(
+                    {
+                        "via": doc_id,
+                        "link_seq": seq,
+                        "target": target,
+                        "hop_char": hop,
+                        "discarded_outlinks": discarded,
+                    }
+                )
+        schema = pa.schema(
+            [
+                ("via", pa.string()),
+                ("link_seq", pa.int64()),
+                ("target", pa.string()),
+                ("hop_char", pa.string()),
+                ("discarded_outlinks", pa.int32()),
+            ]
+        )
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pylist(out, schema=schema), tmp)
+        os.replace(tmp, path)
+    return (
+        "select via, link_seq, target, hop_char, discarded_outlinks "
+        f"from read_parquet('{path}') order by via, link_seq"
+    )
+
+
+QUERIES["extract_outlinks"] = q_extract_outlinks
+ORACLE_SQL["extract_outlinks"] = _extract_outlinks_oracle()
+
+
 # -------------------------------------------------- 23. queue precedence policies
 
 @register(

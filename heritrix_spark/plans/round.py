@@ -211,45 +211,76 @@ def schedule_seeds(
     url_seen = frontier.select(
         "canon_url", shard_col("canon_url", cfg.n_seen_shards).alias("shard")
     )
-    host_state = frontier.select("class_key").distinct().select(
-        "class_key",
-        F.lit(0).cast("long").alias("wake_time"),
-        F.lit(0).cast("long").alias("total_expenditure"),
-        F.lit(0).cast("long").alias("succeeded"),
-        F.lit(False).alias("retired"),
-        F.lit(-1).cast("long").alias("robots_fetched"),
-        F.lit(0).cast("long").alias("session_spent"),
-        F.lit(0).cast("long").alias("activation_seq"),
+    host_state = (
+        frontier.groupBy("class_key")
+        # pending: per-queue item count, maintained incrementally each
+        # round (novel + injected - emitted + retried) — the WorkQueue
+        # cached-count analog that lets eligibility skip frontier scans
+        .agg(F.count("*").cast("long").alias("pending"))
+        .select(
+            "class_key",
+            F.lit(0).cast("long").alias("wake_time"),
+            F.lit(0).cast("long").alias("total_expenditure"),
+            F.lit(0).cast("long").alias("succeeded"),
+            F.lit(False).alias("retired"),
+            F.lit(-1).cast("long").alias("robots_fetched"),
+            F.lit(0).cast("long").alias("session_spent"),
+            F.lit(0).cast("long").alias("activation_seq"),
+            "pending",
+        )
     )
     return frontier, url_seen, host_state, n
 
 
 def eligible_queues(
-    frontier: DataFrame, host_state: DataFrame, cfg: PolitenessConfig
+    frontier: DataFrame,
+    host_state: DataFrame,
+    cfg: PolitenessConfig,
+    extra_pending: DataFrame | None = None,
 ) -> DataFrame:
-    """Non-retired queues below the precedence floor, with ``__qprec``.
+    """Non-retired queues with ≥1 pending URI, below the precedence
+    floor, with ``__qprec`` (precedence floor:
+    WorkQueueFrontier.java:164-170, gating :594,820).
 
-    Shared by the round-start event probe and the post-future-injection
-    recompute so the two can never drift (precedence floor:
-    WorkQueueFrontier.java:164-170, gating :594,820)."""
+    Scale shape: under the default (``base``) and ``success_counts``
+    policies the queue precedence is a function of host_state alone, so
+    "has pending URIs" comes from the incrementally-maintained
+    ``pending`` counter in host_state (O(hosts), no frontier access) —
+    the analog of each BdbWorkQueue's cached item count
+    (WorkQueue.java getCount). A 10^10-row frontier is NOT scanned (let
+    alone shuffled) per round just to find ready hosts. Only the
+    ``highest_uri`` policy, whose precedence derives from the best
+    pending URI (HighestUriQueuePrecedencePolicy.java:33-60), aggregates
+    the frontier — inherent to that policy's definition.
+
+    ``extra_pending`` (class_key, __extra) adds mid-round injections
+    (due future URIs) that the stored counter can't know about yet; the
+    ``highest_uri`` caller passes the already-unioned frontier instead."""
     from heritrix_spark.operators.prepare import (
         base_queue_precedence_col,
         highest_uri_queue_precedence_col,
         success_counts_queue_precedence_col,
     )
 
-    queue_stats = frontier.groupBy("class_key").agg(
-        F.min("precedence").alias("__min_uri_prec")
-    )
-    eligible = queue_stats.join(
-        host_state.filter(~F.col("retired")), on="class_key", how="inner"
-    )
+    hs = host_state.filter(~F.col("retired"))
     if cfg.queue_precedence_policy == "highest_uri":
+        queue_stats = frontier.groupBy("class_key").agg(
+            F.min("precedence").alias("__min_uri_prec")
+        )
+        eligible = queue_stats.join(hs, on="class_key", how="inner")
         qprec = highest_uri_queue_precedence_col(F.col("__min_uri_prec"), cfg)
-    elif cfg.queue_precedence_policy == "success_counts":
-        qprec = success_counts_queue_precedence_col(F.col("succeeded"), cfg)
     else:
-        qprec = base_queue_precedence_col(cfg)
+        pend = F.col("pending")
+        if extra_pending is not None:
+            hs = hs.join(F.broadcast(extra_pending), on="class_key", how="left")
+            pend = pend + F.coalesce(F.col("__extra"), F.lit(0))
+        eligible = hs.filter(pend > 0)
+        if extra_pending is not None:
+            eligible = eligible.drop("__extra")
+        if cfg.queue_precedence_policy == "success_counts":
+            qprec = success_counts_queue_precedence_col(F.col("succeeded"), cfg)
+        else:
+            qprec = base_queue_precedence_col(cfg)
     return eligible.withColumn("__qprec", qprec.cast("int")).filter(
         F.col("__qprec") < F.lit(cfg.precedence_floor)
     )
@@ -299,6 +330,7 @@ def run_round(
 
     # re-inject due futures (attempts already reset at scheduling time)
     injected_futures = None
+    injected_counts = None
     futures_next = future_uris
     if have_futures and int(fut_row["t"]) <= now:
         injected_futures = (
@@ -306,10 +338,15 @@ def run_round(
             .select(*FRONTIER_COLUMNS)
             .withColumn("delta_round", F.lit(round_no).cast("int"))
         )
+        injected_counts = injected_futures.groupBy("class_key").agg(
+            F.count("*").cast("long").alias("__extra")
+        )
         futures_next = future_uris.filter(F.col("reschedule_time") > F.lit(now))
         frontier = frontier.unionByName(injected_futures)
         # recompute eligibility for hosts that only have future rows
-        eligible = eligible_queues(frontier, host_state, cfg)
+        eligible = eligible_queues(
+            frontier, host_state, cfg, extra_pending=injected_counts
+        )
 
     ready = eligible.filter(F.col("wake_time") <= F.lit(now))
     if cfg.max_hosts_per_round > 0:
@@ -687,6 +724,17 @@ def run_round(
         )
         .cast("long")
         .alias("new_robots_fetched"),
+        # queue item-count delta from this emission: a retry (incl.
+        # deferral) re-enqueues the row, anything else leaves for good
+        F.when(F.col("disposition") == "retry", F.lit(0))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("pending_delta"),
+    )
+    # per-queue novel additions (one tiny aggregate over the delta —
+    # pending is maintained in O(changed rows), never from the frontier)
+    novel_counts = novel.groupBy("class_key").agg(
+        F.count("*").cast("long").alias("__novel_cnt")
     )
     updated = (
         host_state.join(
@@ -696,14 +744,27 @@ def run_round(
                 "new_wake",
                 "succ_inc",
                 "new_robots_fetched",
+                "pending_delta",
                 "__o_total_budget",
                 "__o_session_budget",
             ),
             on="class_key",
             how="left",
         )
+        .join(novel_counts, on="class_key", how="left")
+        .transform(
+            lambda d: d.join(injected_counts, on="class_key", how="left")
+            if injected_counts is not None
+            else d.withColumn("__extra", F.lit(None).cast("long"))
+        )
         .select(
             "class_key",
+            (
+                F.col("pending")
+                + F.coalesce(F.col("__novel_cnt"), F.lit(0))
+                + F.coalesce(F.col("__extra"), F.lit(0))
+                + F.coalesce(F.col("pending_delta"), F.lit(0))
+            ).alias("pending"),
             F.coalesce(F.col("new_wake"), F.col("wake_time")).alias("wake_time"),
             (F.col("total_expenditure") + F.coalesce(F.col("expend"), F.lit(0))).alias(
                 "total_expenditure"
@@ -759,11 +820,12 @@ def run_round(
         .drop("__over_session", "__eff_tb", "__eff_sb")
     )
     new_hosts = (
-        novel_frontier.select("class_key")
-        .distinct()
-        .join(host_state.select("class_key"), on="class_key", how="left_anti")
+        novel_counts.join(
+            host_state.select("class_key"), on="class_key", how="left_anti"
+        )
         .select(
             "class_key",
+            F.col("__novel_cnt").alias("pending"),
             F.lit(0).cast("long").alias("wake_time"),
             F.lit(0).cast("long").alias("total_expenditure"),
             F.lit(0).cast("long").alias("succeeded"),

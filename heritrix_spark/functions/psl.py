@@ -45,13 +45,10 @@ HopCrossesAssignmentLevelDomainDecideRule (operators/scope.py).
 
 from __future__ import annotations
 
-import os
+from importlib import resources
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-
-_DATA = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data",
-                     "psl_surt_rules.txt")
 
 # key (SURT prefix, trailing comma) -> packed exc_ps*100 + wild_ps*10 + norm_ps
 _PSL: dict[str, int] = {}
@@ -60,12 +57,18 @@ _PSL: dict[str, int] = {}
 def _load() -> dict[str, int]:
     if _PSL:
         return _PSL
-    with open(_DATA) as f:
-        for line in f:
-            if line.startswith("#"):
-                continue
-            key, e, w, n = line.rstrip("\n").split("\t")
-            _PSL[key] = int(e) * 100 + int(w) * 10 + int(n)
+    # importlib.resources (not __file__+open) so the table also loads
+    # when the package ships as a spark-submit --py-files zip archive
+    text = (
+        resources.files("heritrix_spark")
+        .joinpath("data/psl_surt_rules.txt")
+        .read_text()
+    )
+    for line in text.splitlines():
+        if line.startswith("#"):
+            continue
+        key, e, w, n = line.split("\t")
+        _PSL[key] = int(e) * 100 + int(w) * 10 + int(n)
     return _PSL
 
 

@@ -25,13 +25,19 @@ def build_session(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master=None`` (default) runs local[cores] — the sandbox/test
+    mode. ``master="external"`` sets NO master, deferring to whatever
+    ``spark-submit --master`` (YARN/k8s/standalone) provided — the
+    multi-executor deployment path (bin/submit_crawl.py)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = SparkSession.builder.appName(app_name)
+    if master != "external":
+        builder = builder.master(master or f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -31,8 +31,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import tempfile
+
+try:  # deployed: package arrives via --py-files; dev: repo root
+    import heritrix_spark  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -286,6 +286,44 @@ def eligible_queues(
     )
 
 
+def clock_probe(
+    frontier: DataFrame | None,
+    host_state: DataFrame,
+    future_uris: DataFrame | None,
+    cfg: PolitenessConfig,
+) -> dict:
+    """One driver action probing both next-round event sources (frontier
+    wake times and futures, checkFutures :731-748): cross-join of two
+    single-row aggregates — halves the per-round fixed job overhead.
+
+    Returned as a plain JSON-able dict so ``crawl()`` can compute it at
+    the END of round r (concurrently with r's write jobs, over the same
+    in-memory state those jobs materialize) and persist it in the round
+    manifest: round r+1 then starts with ZERO serial driver actions
+    before its write batch. The values are deterministic aggregates of
+    committed state, so a resumed process reads the identical probe."""
+    eligible = eligible_queues(frontier, host_state, cfg)
+    agg_e = eligible.agg(F.min("wake_time").alias("w"), F.count("*").alias("n"))
+    if future_uris is not None:
+        agg_f = future_uris.agg(
+            F.min("reschedule_time").alias("t"), F.count("*").alias("nf")
+        )
+        row = agg_e.crossJoin(agg_f).first()
+        return {
+            "w": None if row["w"] is None else int(row["w"]),
+            "n": int(row["n"]),
+            "t": None if row["t"] is None else int(row["t"]),
+            "nf": int(row["nf"]),
+        }
+    row = agg_e.first()
+    return {
+        "w": None if row["w"] is None else int(row["w"]),
+        "n": int(row["n"]),
+        "t": None,
+        "nf": 0,
+    }
+
+
 def run_round(
     spark: SparkSession,
     round_no: int,
@@ -301,32 +339,28 @@ def run_round(
     future_uris: DataFrame | None = None,
     seen_blooms: DataFrame | None = None,
     host_config: DataFrame | None = None,
+    probe: dict | None = None,
 ) -> RoundResult:
-    # ---- clock + ready-host selection (spec step 1)
-    eligible = eligible_queues(frontier, host_state, cfg)
-    # one driver action probes both event sources (frontier wake times
-    # and futures, checkFutures :731-748): cross-join of two single-row
-    # aggregates — halves the per-round fixed job overhead
-    agg_e = eligible.agg(F.min("wake_time").alias("w"), F.count("*").alias("n"))
-    if future_uris is not None:
-        agg_f = future_uris.agg(
-            F.min("reschedule_time").alias("t"), F.count("*").alias("nf")
-        )
-        row = agg_e.crossJoin(agg_f).first()
-        fut_row = {"t": row["t"], "n": row["nf"]}
-    else:
-        row = agg_e.first()
-        fut_row = None
-    have_frontier = row["n"] > 0
+    # ---- clock + ready-host selection (spec step 1); ``probe`` is the
+    # previous round's precomputed event aggregate (see clock_probe)
+    if probe is None:
+        probe = clock_probe(frontier, host_state, future_uris, cfg)
+    fut_row = (
+        {"t": probe["t"], "n": probe["nf"]} if future_uris is not None else None
+    )
+    have_frontier = probe["n"] > 0
     have_futures = fut_row is not None and fut_row["n"] > 0
     if not have_frontier and not have_futures:
         return RoundResult(done=True, now_ms=now_prev, max_ordinal=max_ordinal)
     events = []
     if have_frontier:
-        events.append(int(row["w"]))
+        events.append(int(probe["w"]))
     if have_futures:
         events.append(int(fut_row["t"]))
     now = max(now_prev, min(events))
+    # lazy plan only — the probe above was the round's single pre-write
+    # driver action (or zero when precomputed by the previous round)
+    eligible = eligible_queues(frontier, host_state, cfg)
 
     # re-inject due futures (attempts already reset at scheduling time)
     injected_futures = None

@@ -92,13 +92,24 @@ def start_candidate_ingest(
         # (the frontier is never rewritten — same O(delta) protocol as
         # the batch round loop)
         store.write_delta(novel_frontier, "frontier", round_no)
-        store.write_delta(
-            novel.select(
-                "canon_url", shard_col("canon_url", cfg.n_seen_shards).alias("shard")
-            ),
-            "url_seen",
-            round_no,
+        seen_delta = novel.select(
+            "canon_url", shard_col("canon_url", cfg.n_seen_shards).alias("shard")
         )
+        # same shard-partitioned layout as the batch loop (the two
+        # ingestion paths share one url_seen table), and the bloom
+        # sidecar MUST cover every seen delta: a seen row without its
+        # bloom bits would later be prefiltered as "certainly novel"
+        store.write_delta(
+            seen_delta, "url_seen", round_no, partition_by=("shard",)
+        )
+        if cfg.seen_bloom_bits > 0:
+            from heritrix_spark.operators.bloomseen import bloom_delta
+
+            store.write_delta(
+                bloom_delta(seen_delta, bits=cfg.seen_bloom_bits),
+                "url_seen_bloom",
+                round_no,
+            )
         store.commit_round(
             round_no,
             {

@@ -153,7 +153,8 @@ def assign_ordinals(
     out_col: str = "ordinal",
     num_buckets: int | None = None,
     lead_bound: int | None = None,
-) -> tuple[DataFrame, int]:
+    defer_count: bool = False,
+) -> tuple[DataFrame, int | None]:
     """Number rows ``base + 1 .. base + n`` along the total order of
     ``order_cols``, without a global single-partition window. Returns
     ``(numbered_df, n)``.
@@ -177,6 +178,15 @@ def assign_ordinals(
     Either way the result is independent of ``num_buckets`` and input
     partitioning because the order is total (callers include a unique
     final tiebreak column, e.g. canon_url).
+
+    ``defer_count=True`` (fast path only) removes the per-batch driver
+    action entirely: bucket offsets become a LAZY cumulative-sum window
+    over the per-bucket counts (one row per bucket) broadcast-joined
+    back, and the returned count is ``None`` — the caller folds the
+    batch count into an aggregate it already collects (the round's
+    concurrent metrics job). The event-log audit (BENCH/PLANS.md)
+    showed this collect was ~15 AQE sub-jobs per round on the fixture
+    crawl — the largest driver action after the write pool.
     """
     spark = df.sparkSession
     if num_buckets is None:
@@ -194,6 +204,34 @@ def assign_ordinals(
             *[F.col(c).asc() for c in order_cols]
         )
         work = work.withColumn("__lrank", F.row_number().over(w)).persist()
+        if defer_count:
+            # zero-action offsets: cumulative count over bucket order
+            # (one row per bucket — a trivial single-partition window),
+            # broadcast-joined back. `work` is (lazily) persisted above
+            # so the first materializing job computes the upstream
+            # pipeline once and both join sides read the cache.
+            woff = Window.orderBy("__bucket").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            offsets_df = (
+                work.groupBy("__bucket")
+                .agg(F.count("*").alias("__cnt"))
+                .select(
+                    "__bucket",
+                    (
+                        F.coalesce(F.sum("__cnt").over(woff), F.lit(0))
+                        + F.lit(base)
+                    ).alias("__offset"),
+                )
+            )
+            result = (
+                work.join(F.broadcast(offsets_df), "__bucket")
+                .withColumn(
+                    out_col, (F.col("__offset") + F.col("__lrank")).cast("long")
+                )
+                .drop("__bucket", "__lrank", "__offset")
+            )
+            return result, None
         counts = {
             r["__bucket"]: r["cnt"]
             for r in work.groupBy("__bucket").agg(F.count("*").alias("cnt")).collect()

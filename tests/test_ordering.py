@@ -123,3 +123,52 @@ def test_assign_ordinals_broadcast_offset_path(spark, monkeypatch):
     assert [
         r["canon_url"] for r in numbered2.orderBy("ordinal").collect()
     ] == expected
+
+
+def test_assign_ordinals_defer_count_equivalence(spark):
+    """defer_count=True (lazy cumulative-offset join, no driver action)
+    must number rows identically to the collected fast path, at several
+    parallelism levels, including base offsets and empty input."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randrange(400), rng.randrange(50), f"http://h{rng.randrange(37)}/q{i}")
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, ["parent_ordinal", "link_seq", "canon_url"])
+    expected = [
+        url for _, _, url in sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+    ]
+
+    for buckets in (2, 16):
+        eager, n = assign_ordinals(
+            df.repartition(buckets),
+            ["parent_ordinal", "link_seq", "canon_url"],
+            base=7,
+            num_buckets=buckets,
+            lead_bound=400,
+        )
+        lazy, n2 = assign_ordinals(
+            df.repartition(buckets),
+            ["parent_ordinal", "link_seq", "canon_url"],
+            base=7,
+            num_buckets=buckets,
+            lead_bound=400,
+            defer_count=True,
+        )
+        assert n == 3000 and n2 is None
+        got_e = [(r["ordinal"], r["canon_url"]) for r in eager.orderBy("ordinal").collect()]
+        got_l = [(r["ordinal"], r["canon_url"]) for r in lazy.orderBy("ordinal").collect()]
+        assert got_e == got_l
+        assert [u for _, u in got_l] == expected
+        assert [o for o, _ in got_l] == list(range(8, 3008))
+
+    empty = spark.createDataFrame(
+        [], "parent_ordinal long, link_seq long, canon_url string"
+    )
+    lazy, n = assign_ordinals(
+        empty, ["parent_ordinal", "link_seq", "canon_url"],
+        base=7, lead_bound=400, defer_count=True,
+    )
+    assert n is None and lazy.count() == 0 and "ordinal" in lazy.columns

@@ -125,23 +125,35 @@ def lsh_bucketed_topk(
     Recall within the truncated bucket degrades, which is the standard
     LSH truncation tradeoff; raise ``n_planes``/``n_tables`` if over-cap
     buckets are common."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    cand = None
-    for t in range(n_tables):
-        cb = c.withColumn("bucket", lsh_bucket_col(F.col("c_vec"), dim, n_planes, t))
-        if max_bucket is not None:
-            wb = Window.partitionBy("bucket").orderBy(F.asc("neighbor_id"))
-            cb = (
-                cb.withColumn("__br", F.row_number().over(wb))
-                .filter(F.col("__br") <= F.lit(max_bucket))
-                .drop("__br")
+    # one pass computes every table's bucket on each side (posexplode),
+    # one (table, bucket) broadcast join replaces the per-table
+    # join ∪ union — identical candidates, half the giant bucket
+    # expressions to compile/evaluate, a single exchange
+    def all_buckets(vcol):
+        return F.posexplode(
+            F.array(
+                *[lsh_bucket_col(vcol, dim, n_planes, t) for t in range(n_tables)]
             )
-        qb = q.withColumn("bucket", lsh_bucket_col(F.col("q_vec"), dim, n_planes, t))
-        pairs = cb.join(F.broadcast(qb), on="bucket").drop("bucket")
-        cand = pairs if cand is None else cand.unionByName(pairs)
+        ).alias("table", "bucket")
+
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        all_buckets(F.col(vec_col)),
+    )
+    if max_bucket is not None:
+        wb = Window.partitionBy("table", "bucket").orderBy(F.asc("neighbor_id"))
+        cb = (
+            cb.withColumn("__br", F.row_number().over(wb))
+            .filter(F.col("__br") <= F.lit(max_bucket))
+            .drop("__br")
+        )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        all_buckets(F.col(vec_col)),
+    )
+    cand = cb.join(F.broadcast(qb), on=["table", "bucket"]).drop("table", "bucket")
     cand = cand.dropDuplicates(["query_id", "neighbor_id"]).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -295,29 +307,43 @@ def lsh_neardup_pairs(
     of n_tables with high probability for high cosine); the bucketing
     is deterministic (md5-derived planes), so an oracle engine can
     replay the exact same candidate set."""
+    # ONE pass computes every table's bucket (an array + posexplode),
+    # and ONE self-join on the composite (table, bucket) key replaces
+    # the per-table join ∪ union — the candidate set is identical, but
+    # the plan evaluates the 16-dot-product bucket expression once per
+    # join side instead of once per (table, side), and ships a single
+    # exchange instead of n_tables of them.
     c = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    cand = None
-    for t in range(n_tables):
-        cb = c.withColumn("bucket", lsh_bucket_col(F.col("__v"), dim, n_planes, t))
-        if max_bucket is not None:
-            wb = Window.partitionBy("bucket").orderBy(F.asc("__id"))
-            cb = (
-                cb.withColumn("__br", F.row_number().over(wb))
-                .filter(F.col("__br") <= F.lit(max_bucket))
-                .drop("__br")
+    cb = c.select(
+        "__id",
+        "__v",
+        F.posexplode(
+            F.array(
+                *[
+                    lsh_bucket_col(F.col("__v"), dim, n_planes, t)
+                    for t in range(n_tables)
+                ]
             )
-        left = cb.select(
-            F.col("__id").alias("a_id"), F.col("__v").alias("a_vec"), "bucket"
+        ).alias("table", "bucket"),
+    )
+    if max_bucket is not None:
+        wb = Window.partitionBy("table", "bucket").orderBy(F.asc("__id"))
+        cb = (
+            cb.withColumn("__br", F.row_number().over(wb))
+            .filter(F.col("__br") <= F.lit(max_bucket))
+            .drop("__br")
         )
-        right = cb.select(
-            F.col("__id").alias("b_id"), F.col("__v").alias("b_vec"), "bucket"
-        )
-        pairs = (
-            left.join(right, on="bucket")
-            .filter(F.col("a_id") < F.col("b_id"))
-            .drop("bucket")
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    left = cb.select(
+        F.col("__id").alias("a_id"), F.col("__v").alias("a_vec"), "table", "bucket"
+    )
+    right = cb.select(
+        F.col("__id").alias("b_id"), F.col("__v").alias("b_vec"), "table", "bucket"
+    )
+    cand = (
+        left.join(right, on=["table", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .drop("table", "bucket")
+    )
     return (
         cand.dropDuplicates(["a_id", "b_id"])
         .withColumn("cosine", cosine_col(F.col("a_vec"), F.col("b_vec")))

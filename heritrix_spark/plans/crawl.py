@@ -21,6 +21,11 @@ place (BdbMultipleWorkQueues.java:425-441). The live frontier is
 every COMPACT_EVERY rounds the resolved view is rewritten as a single
 base delta and the tombstones collapse away (rewrite-data-files /
 expire-snapshots), so a crawl reads at most COMPACT_EVERY delta dirs.
+url_seen and its bloom sidecar — per-round READ inputs too — compact
+on the same cadence (seen: plain append-only rewrite; bloom: bit_or
+collapse of the sparse rows), so every input table's partition fan-in
+is bounded by COMPACT_EVERY regardless of crawl length
+(tests/test_seen_compaction.py).
 At a 10^10-row frontier this makes per-round write I/O O(delta), with
 the O(frontier) rewrite amortized 1/COMPACT_EVERY per round. A round's
 independent write jobs are submitted concurrently (wall time =
@@ -215,7 +220,8 @@ def crawl(
         if result.done:
             round_no -= 1
             break
-        if round_no % COMPACT_EVERY == 0:
+        compact = round_no % COMPACT_EVERY == 0
+        if compact:
             # periodic compaction: materialize the resolved view as the
             # single base delta; tombstones vanish with the collapse
             # (atomic at the manifest commit)
@@ -229,6 +235,17 @@ def crawl(
                 allowMissingColumns=True,
             )
             frontier_reset = False
+        # url_seen and its bloom sidecar are per-round READ inputs, so
+        # their delta-partition count must stay bounded too: on the same
+        # cadence, rewrite the seen set as one base delta (append-only —
+        # a plain concat, no resolution needed) and collapse the sparse
+        # bloom rows with the same bit_or the read-side merge applies.
+        # Production analog: Iceberg rewrite-data-files on the seen
+        # table; without this, reads fan in O(rounds) partitions.
+        if compact:
+            seen_out = url_seen.unionByName(result.url_seen_delta)
+        else:
+            seen_out = result.url_seen_delta
 
         # the round's write jobs are independent (each reads only the
         # persisted intra-round intermediates, warm by the time
@@ -242,10 +259,11 @@ def crawl(
             ),
             lambda: store.write_full(result.host_state, "host_state", round_no),
             lambda: store.write_delta(
-                result.url_seen_delta,
+                seen_out,
                 "url_seen",
                 round_no,
                 partition_by=("shard",),
+                reset=compact,
             ),
             lambda: store.write_delta(result.fetch_log, "fetch_log", round_no),
             lambda: store.write_delta(result.lineage, "lineage", round_no),
@@ -259,11 +277,19 @@ def crawl(
         if cfg.seen_bloom_bits > 0:
             from heritrix_spark.operators.bloomseen import bloom_delta
 
+            bloom_out = bloom_delta(
+                result.url_seen_delta, bits=cfg.seen_bloom_bits
+            )
+            bloom_reset = compact and seen_blooms is not None
+            if bloom_reset:
+                bloom_out = (
+                    seen_blooms.unionByName(bloom_out)
+                    .groupBy("shard", "word_idx")
+                    .agg(F.bit_or("bits").alias("bits"))
+                )
             writes.append(
                 lambda: store.write_delta(
-                    bloom_delta(result.url_seen_delta, bits=cfg.seen_bloom_bits),
-                    "url_seen_bloom",
-                    round_no,
+                    bloom_out, "url_seen_bloom", round_no, reset=bloom_reset
                 )
             )
         # the metrics aggregate reads only the persisted fetched set —

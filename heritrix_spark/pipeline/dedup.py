@@ -251,6 +251,54 @@ def simhash_from_hashes_col(
     return out
 
 
+def simhash_votes(
+    docs: DataFrame, text_col: str, id_col: str, n_bits: int
+) -> DataFrame:
+    """Per-document SimHash bit-vote sums ``(doc, __v0..__v{n-1})`` in
+    the whole-stage-codegen shape: explode tokens → md5_60 per ROW
+    (codegen'd, not a per-element lambda) → one groupBy(doc) carrying
+    ``n_bits`` map-side-combinable ``sum(±1)`` aggregates. Replaces the
+    earlier ``n_bits`` separate higher-order ``F.aggregate`` walks over
+    the token array — those were interpreted per element AND cost
+    ~n_bits × lambda-conversion py4j round trips to build. Vote totals
+    are order-independent integer sums, so the fingerprints are
+    bit-identical to the HOF form (pinned by tests). The groupBy
+    shuffles one partial row per (doc, input partition) — at 100 TB
+    this is the same single-exchange shape, never the token stream."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(par)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__t"),
+        )
+        .select(
+            "doc",
+            F.expr("cast(conv(substring(md5(__t),1,15),16,10) as bigint)").alias(
+                "__h"
+            ),
+        )
+    )
+    votes = [
+        F.expr(f"sum(case when ((__h >> {b}) & 1) = 1 then 1 else -1 end)").alias(
+            f"__v{b}"
+        )
+        for b in range(n_bits)
+    ]
+    return tok.groupBy("doc").agg(*votes)
+
+
+def band_from_votes_expr(bit_offset: int, bits: int) -> Column:
+    """Assemble one band value from vote columns: bit i set iff
+    ``__v{bit_offset+i} > 0`` — the same sign rule as
+    :func:`simhash_from_hashes_col`. ONE ``F.expr`` call (py4j-cheap)."""
+    body = " + ".join(
+        f"(case when __v{bit_offset + i} > 0 then {1 << i} else 0 end)"
+        for i in range(bits)
+    )
+    return F.expr(f"cast({body} as bigint)")
+
+
 def simhash_col(text: Column, bits: int = 16) -> Column:
     """SimHash over whitespace tokens (bit-majority of token hashes).
 
@@ -308,18 +356,20 @@ def simhash_neardup_pairs(
 
     Note: token hashes are md5_60 (60 bits), so band 3's top 4 bits are
     constant zero — a 60-effective-bit fingerprint, identical in any
-    engine that repeats the walk."""
-    spark_parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    hashed = docs.repartition(spark_parallelism).select(
-        F.col(id_col).alias("doc"), token_hashes_col(F.col(text_col)).alias("__th")
-    )
+    engine that repeats the walk.
+
+    Fingerprints come from :func:`simhash_votes` (explode → codegen'd
+    per-row md5 → ONE map-side-combinable groupBy) rather than
+    ``bands * band_bits`` higher-order ``F.aggregate`` lambdas —
+    bit-identical by construction (order-independent integer vote sums,
+    same sign rule), pinned by
+    tests/test_pipeline.py::test_simhash_votes_matches_hof."""
+    votes = simhash_votes(docs, text_col, id_col, bands * band_bits)
     band_cols = [
-        simhash_from_hashes_col(
-            F.col("__th"), bits=band_bits, bit_offset=band_bits * j
-        ).alias(f"b{j}")
+        band_from_votes_expr(band_bits * j, band_bits).alias(f"b{j}")
         for j in range(bands)
     ]
-    sigs = hashed.select("doc", *band_cols)
+    sigs = votes.select("doc", *band_cols)
     exploded = sigs.select(
         "doc",
         *[f"b{j}" for j in range(bands)],

@@ -80,22 +80,41 @@ def brute_force_topk(
     )
 
 
-def _plane_component(plane: int, dim_index: int, dim: int) -> F.Column:
-    """Deterministic pseudo-random ±1 hyperplane component from md5 —
-    reproducible across engines and runs, no RNG state."""
-    h = F.conv(
-        F.substring(F.md5(F.lit(f"plane{plane}|{dim_index}")), 1, 15), 16, 10
-    ).cast("long")
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def _plane_values(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane from md5 — reproducible
+    across engines and runs, no RNG state. Computed DRIVER-side (the
+    values are constants — md5 of fixed strings) and shipped as ONE
+    literal array per plane: the earlier per-component
+    ``md5(lit)``/``conv``/``when`` expression tree was ~10 Catalyst
+    nodes × dim × n_planes × n_tables (≈60k nodes at dim=64), and
+    measured ~10 s of pure py4j plan-construction per query against
+    ~1 s of execution. The DuckDB oracle twin already renders the same
+    values as SQL literals (driverq._plane_literal_sql) — this makes
+    the Spark side symmetric. Bit-identical: the literal feeds the
+    same sequential zip_with/aggregate fold as before."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"plane{plane}|{i}".encode()).hexdigest()[:15], 16)
+        out.append(1.0 if h % 2 == 0 else -1.0)
+    return out
+
+
+def _plane_literal(plane: int, dim: int):
+    """The plane as ONE ``F.expr`` array literal — a single py4j call
+    parsed JVM-side (``F.lit(list)`` still fans out one gateway call
+    per element). ``D`` suffix keeps the elements DOUBLE (bare ``1.0``
+    parses as DECIMAL in Spark SQL)."""
+    body = ",".join("1.0D" if v > 0 else "-1.0D" for v in _plane_values(plane, dim))
+    return F.expr(f"array({body})")
 
 
 def lsh_bucket_col(vec, dim: int, n_planes: int = 8, table: int = 0):
     """Random-hyperplane LSH bucket id: n_planes sign bits."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        comps = F.array(
-            *[_plane_component(table * 1000 + p, i, dim) for i in range(dim)]
-        )
+        comps = _plane_literal(table * 1000 + p, dim)
         s = _dot(vec, comps)
         bucket = bucket + F.when(s >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
     return bucket

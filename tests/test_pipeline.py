@@ -288,3 +288,44 @@ def test_lsh_neardup_pairs_identical_vectors(spark):
     }
     assert set(got) >= {(0, 1), (0, 2), (1, 2)}
     assert all(v >= 990_000 for v in got.values())
+
+
+def test_simhash_votes_matches_hof(spark):
+    """The explode/groupBy vote path (simhash_votes +
+    band_from_votes_expr) is bit-identical to the higher-order
+    F.aggregate form on every band — pins the codegen rewrite."""
+    from heritrix_spark.pipeline.dedup import (
+        band_from_votes_expr,
+        simhash_from_hashes_col,
+        simhash_votes,
+        token_hashes_col,
+    )
+
+    docs = [
+        (i, f"alpha beta gamma delta token{i % 9} omega trailing text {i}")
+        for i in range(60)
+    ]
+    docs += [(200, "x"), (201, ""), (202, "  padded   whitespace  run ")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    votes = simhash_votes(df, "text", "doc_id", 64)
+    got = {
+        r["doc"]: tuple(r[f"b{j}"] for j in range(4))
+        for r in votes.select(
+            "doc",
+            *[band_from_votes_expr(16 * j, 16).alias(f"b{j}") for j in range(4)],
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r[f"b{j}"] for j in range(4))
+        for r in df.select(
+            "doc_id",
+            *[
+                simhash_from_hashes_col(
+                    token_hashes_col(F.col("text")), 16, 16 * j
+                ).alias(f"b{j}")
+                for j in range(4)
+            ],
+        ).collect()
+    }
+    assert got == want

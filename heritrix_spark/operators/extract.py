@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from heritrix_spark.functions.colcache import cached
+
 # The URL shape recognized inside text spans. Shared with the fixture
 # generator and the oracle simulator; restricted to Java ∩ RE2 ∩ Python.
 URL_IN_TEXT_PATTERN = r"https?://[a-zA-Z0-9.\-]+(?::[0-9]+)?(?:/[^\s\"'<>]*)?"
@@ -58,13 +60,38 @@ def extract_outlinks(
     :data:`TRAP_PATTERN`) drops trap-suspected pages from extraction
     entirely (TrapSuppressExtractor analog).
     """
-    eligible = fetched.filter(
-        (F.col("fetch_status") >= 200) & (F.col("fetch_status") < 400)
-    ).filter(F.col("spans").isNotNull())
+    # The whole expression set is static given the four parameters —
+    # built once per crawl, reused every round (functions/colcache.py).
+    X = cached(
+        ("extract_outlinks", max_outlinks, url_col, ordinal_col,
+         suppress_trap_pattern),
+        lambda: _extract_exprs(max_outlinks, url_col, ordinal_col),
+    )
+    eligible = fetched.filter(X["eligible"])
     if suppress_trap_pattern is not None:
         eligible = eligible.filter(~F.col(url_col).rlike(suppress_trap_pattern))
 
-    spans = eligible.select(
+    spans = eligible.select(*X["spans_sel"])
+    span_links = spans.withColumn("links", X["links_col"])
+    links = span_links.select(*X["exploded_sel"]).select(*X["links_sel"])
+
+    capped = (
+        links.withColumn("__rank", X["rank_col"])
+        .withColumn("discarded_outlinks", X["discard_col"])
+        .filter(F.col("__rank") <= max_outlinks)
+        .drop("__rank")
+    )
+    return capped
+
+
+def _extract_exprs(max_outlinks: int, url_col: str, ordinal_col: str) -> dict:
+    """Static Column trees for :func:`extract_outlinks` (cache payload)."""
+    eligible = (
+        (F.col("fetch_status") >= 200)
+        & (F.col("fetch_status") < 400)
+        & F.col("spans").isNotNull()
+    )
+    spans_sel = (
         F.col(url_col).alias("via"),
         F.col(ordinal_col).alias("parent_ordinal"),
         F.col("hops_path").alias("via_hops_path"),
@@ -105,24 +132,24 @@ def extract_outlinks(
         ),
     ).otherwise(F.array().cast("array<struct<target:string,hop_char:string>>"))
 
-    span_links = spans.withColumn(
-        "links",
+    links_col = (
         F.when(F.col("span.kind") == "text", text_links)
         .when(F.col("span.kind") == "script", script_links)
         .when(F.col("span.kind") == "redirect", redirect_links)
-        .otherwise(media_links),
+        .otherwise(media_links)
     )
 
-    links = span_links.select(
-        "via",
-        "parent_ordinal",
-        "via_hops_path",
-        "span_pos",
+    exploded_sel = (
+        F.col("via"),
+        F.col("parent_ordinal"),
+        F.col("via_hops_path"),
+        F.col("span_pos"),
         F.posexplode("links").alias("link_pos", "link"),
-    ).select(
-        "via",
-        "parent_ordinal",
-        "via_hops_path",
+    )
+    links_sel = (
+        F.col("via"),
+        F.col("parent_ordinal"),
+        F.col("via_hops_path"),
         (F.col("span_pos").cast("long") * F.lit(1 << 20) + F.col("link_pos")).alias(
             "link_seq"
         ),
@@ -136,20 +163,21 @@ def extract_outlinks(
     from pyspark.sql import Window
 
     w = Window.partitionBy("parent_ordinal").orderBy("link_seq")
-    capped = (
-        links.withColumn("__rank", F.row_number().over(w))
-        .withColumn(
-            "discarded_outlinks",
-            F.greatest(
-                F.count("*").over(Window.partitionBy("parent_ordinal"))
-                - F.lit(max_outlinks),
-                F.lit(0),
-            ).cast("int"),
-        )
-        .filter(F.col("__rank") <= max_outlinks)
-        .drop("__rank")
-    )
-    return capped
+    rank_col = F.row_number().over(w)
+    discard_col = F.greatest(
+        F.count("*").over(Window.partitionBy("parent_ordinal"))
+        - F.lit(max_outlinks),
+        F.lit(0),
+    ).cast("int")
+    return {
+        "eligible": eligible,
+        "spans_sel": spans_sel,
+        "links_col": links_col,
+        "exploded_sel": exploded_sel,
+        "links_sel": links_sel,
+        "rank_col": rank_col,
+        "discard_col": discard_col,
+    }
 
 
 def child_hops_path(parent_hops_path, hop_char):

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from heritrix_spark.constants import PolitenessConfig
+from heritrix_spark.functions.colcache import cached
 
 
 def url_path_col(url: Column | str) -> Column:
@@ -58,20 +59,28 @@ def join_robots(
     and ``crawl_delay`` columns. The robots table is per-host — small
     relative to the frontier — so broadcast keeps this shuffle-free on
     the candidate side (SURVEY.md §2.3 "broadcast-able")."""
-    r = robots.select(
-        F.col(class_key),
-        F.col("allows").alias("__allows"),
-        F.col("disallows").alias("__disallows"),
-        F.col("crawl_delay").alias("crawl_delay"),
+    # static trees (the higher-order prefix matchers are the expensive
+    # ones to build) cached across rounds — functions/colcache.py
+    r_sel, allowed_col, delay_col = cached(
+        ("join_robots", class_key),
+        lambda: (
+            (
+                F.col(class_key),
+                F.col("allows").alias("__allows"),
+                F.col("disallows").alias("__disallows"),
+                F.col("crawl_delay").alias("crawl_delay"),
+            ),
+            robots_allows_col(
+                F.col("__allows"), F.col("__disallows"), url_path_col(F.col("url"))
+            ),
+            F.coalesce(F.col("crawl_delay"), F.lit(-1.0)),
+        ),
     )
+    r = robots.select(*r_sel)
     joined = df.join(F.broadcast(r), on=class_key, how="left")
-    path = url_path_col(F.col("url"))
     return (
-        joined.withColumn(
-            "robots_allowed",
-            robots_allows_col(F.col("__allows"), F.col("__disallows"), path),
-        )
-        .withColumn("crawl_delay", F.coalesce(F.col("crawl_delay"), F.lit(-1.0)))
+        joined.withColumn("robots_allowed", allowed_col)
+        .withColumn("crawl_delay", delay_col)
         .drop("__allows", "__disallows")
     )
 

@@ -42,6 +42,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from heritrix_spark.functions.colcache import cached
+
 
 def shard_col(canon_url: Column | str, n_shards: int) -> Column:
     col = F.col(canon_url) if isinstance(canon_url, str) else canon_url
@@ -68,12 +70,26 @@ def collapse_batch_duplicates(
     strictly less data in flight — the difference that matters at
     10^10-candidate rounds.
     """
-    rest = [c for c in candidates.columns if c != key and c not in order_cols]
-    packed = F.struct(*[F.col(c) for c in order_cols], *[F.col(c) for c in rest])
-    collapsed = candidates.groupBy(key).agg(F.min(packed).alias("__first"))
-    return collapsed.select(
-        key, *[F.col(f"__first.{c}").alias(c) for c in (*order_cols, *rest)]
-    ).select(*candidates.columns)
+    cols = tuple(candidates.columns)
+    packed, unpack_sel = cached(
+        ("collapse_batch_duplicates", cols, key, tuple(order_cols)),
+        lambda: _collapse_exprs(cols, key, tuple(order_cols)),
+    )
+    collapsed = candidates.groupBy(key).agg(packed)
+    return collapsed.select(key, *unpack_sel).select(*cols)
+
+
+def _collapse_exprs(
+    cols: tuple[str, ...], key: str, order_cols: tuple[str, ...]
+) -> tuple:
+    rest = [c for c in cols if c != key and c not in order_cols]
+    packed = F.min(
+        F.struct(*[F.col(c) for c in order_cols], *[F.col(c) for c in rest])
+    ).alias("__first")
+    unpack_sel = tuple(
+        F.col(f"__first.{c}").alias(c) for c in (*order_cols, *rest)
+    )
+    return packed, unpack_sel
 
 
 def dedup_candidates(

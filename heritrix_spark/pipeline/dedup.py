@@ -313,14 +313,15 @@ def simhash_col(text: Column, bits: int = 16) -> Column:
 def simhash_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:
-    """Group documents by identical simhash → near-dup clusters."""
-    spark_parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    hashed = docs.repartition(spark_parallelism).select(
-        F.col(id_col), token_hashes_col(F.col(text_col)).alias("__th")
-    )
+    """Group documents by identical simhash → near-dup clusters.
+
+    Fingerprints via the :func:`simhash_votes` explode/groupBy path
+    (bit-identical to the HOF form; see simhash_neardup_pairs)."""
+    votes = simhash_votes(docs, text_col, id_col, bits)
     return (
-        hashed.select(
-            F.col(id_col), simhash_from_hashes_col(F.col("__th"), bits).alias("simhash")
+        votes.select(
+            F.col("doc").alias(id_col),
+            band_from_votes_expr(0, bits).alias("simhash"),
         )
         .groupBy("simhash")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").cast("long").alias("n_docs"))

@@ -37,6 +37,7 @@ from heritrix_spark.constants import (
     PolitenessConfig,
 )
 from heritrix_spark.functions.canonicalize import canonicalize_col
+from heritrix_spark.functions.colcache import cached
 from heritrix_spark.functions.surt import class_key_col
 from heritrix_spark.operators.budget import disposition_col, expenditure_col
 from heritrix_spark.operators.extract import extract_outlinks
@@ -268,7 +269,10 @@ def eligible_queues(
             F.min("precedence").alias("__min_uri_prec")
         )
         eligible = queue_stats.join(hs, on="class_key", how="inner")
-        qprec = highest_uri_queue_precedence_col(F.col("__min_uri_prec"), cfg)
+        qprec = cached(
+            ("qprec.highest", cfg),
+            lambda: highest_uri_queue_precedence_col(F.col("__min_uri_prec"), cfg),
+        )
     else:
         pend = F.col("pending")
         if extra_pending is not None:
@@ -278,9 +282,14 @@ def eligible_queues(
         if extra_pending is not None:
             eligible = eligible.drop("__extra")
         if cfg.queue_precedence_policy == "success_counts":
-            qprec = success_counts_queue_precedence_col(F.col("succeeded"), cfg)
+            qprec = cached(
+                ("qprec.success", cfg),
+                lambda: success_counts_queue_precedence_col(F.col("succeeded"), cfg),
+            )
         else:
-            qprec = base_queue_precedence_col(cfg)
+            qprec = cached(
+                ("qprec.base", cfg), lambda: base_queue_precedence_col(cfg)
+            )
     return eligible.withColumn("__qprec", qprec.cast("int")).filter(
         F.col("__qprec") < F.lit(cfg.precedence_floor)
     )
@@ -322,6 +331,319 @@ def clock_probe(
         "t": None,
         "nf": 0,
     }
+
+
+def _round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) -> dict:
+    """The static Column trees of one crawl round, built ONCE per
+    (cfg, seed set) and reused by every round (functions/colcache.py).
+
+    The reference wires its processor chain once at crawl launch
+    (profile-crawler-beans.cxml); re-building the equivalent Catalyst
+    trees every round cost ~8.8k synchronous py4j calls/round — ~40% of
+    fixture-round wall (BENCH/PLANS.md cProfile audit). Everything here
+    references columns by NAME, so Catalyst re-resolves the same tree
+    against each round's plan; the only per-round values (round_no,
+    now, max_ordinal) remain fresh literals inside run_round."""
+    return cached(
+        ("round.exprs", cfg, seed_prefixes),
+        lambda: _build_round_exprs(cfg, seed_prefixes),
+    )
+
+
+def _build_round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) -> dict:
+    from heritrix_spark.constants import S_DEFERRED
+    from heritrix_spark.functions.hops import extend_hops_path_col
+    from heritrix_spark.functions.surt import url_prep_struct_col
+
+    E: dict = {}
+
+    # ---- robots prerequisite gate
+    if cfg.robots_prereq:
+        is_robots_uri = F.col("canon_url").rlike(ROBOTS_URI_PATTERN)
+        defer_cond = (F.col("robots_fetched") < 0) & ~is_robots_uri
+    else:
+        is_robots_uri = F.lit(False)
+        defer_cond = F.lit(False)
+    E["is_robots_uri"] = is_robots_uri
+
+    # ---- head-of-queue pick (min-struct; see run_round comments)
+    head_fields = [c for c in FRONTIER_COLUMNS if c != "class_key"] + [
+        "delta_round",
+        "robots_fetched",
+    ]
+    order_first = ["directive", "precedence", "ordinal"]
+    head_rest = [c for c in head_fields if c not in order_first]
+    E["head_agg"] = F.min(
+        F.struct(
+            *[F.col(c) for c in order_first],
+            *[F.col(c) for c in head_rest],
+        )
+    ).alias("__head")
+    E["head_sel"] = tuple(
+        F.col(f"__head.{c}").alias(c) for c in (*order_first, *head_rest)
+    )
+    E["act_w_rank"] = F.row_number().over(
+        Window.orderBy(F.asc("__qprec"), F.asc("activation_seq"), F.asc("class_key"))
+    )
+
+    # ---- fetch simulation columns
+    total_text = F.aggregate(
+        F.col("spans"),
+        F.lit(0),
+        lambda acc, s: acc + F.length(F.coalesce(s["text"], F.lit(""))),
+    )
+    duration_found = F.lit(10) + F.pmod(
+        total_text + F.lit(7) * F.size("spans"), F.lit(491)
+    )
+    is_flaky = (
+        F.conv(F.substring(F.md5(F.col("canon_url")), 1, 2), 16, 10).cast("int")
+        % 7
+        == 0
+    ) if cfg.flaky_first_attempt else F.lit(False)
+    is_redirect = (
+        F.col("spans").isNotNull()
+        & (F.size("spans") > 0)
+        & (F.element_at(F.col("spans"), 1)["kind"] == F.lit("redirect"))
+    )
+    E["fetch_status"] = (
+        F.when(defer_cond, F.lit(S_DEFERRED))
+        .when(~F.col("robots_allowed") & ~is_robots_uri, F.lit(S_ROBOTS_PRECLUDED))
+        .when(
+            F.col("spans").isNotNull() & is_flaky & (F.col("attempts") == 0),
+            F.lit(S_CONNECT_FAILED),
+        )
+        .when(is_redirect, F.lit(301))
+        .when(F.col("spans").isNotNull(), F.lit(200))
+        .otherwise(F.lit(404))
+    )
+    E["fetch_duration"] = (
+        F.when(F.col("fetch_status") == 200, duration_found)
+        .when(F.col("fetch_status") == 301, F.lit(15))
+        .when(F.col("fetch_status") == 404, F.lit(25))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    E["disposition"] = disposition_col(
+        F.col("fetch_status"), F.col("attempts"), cfg
+    )
+
+    # ---- candidates
+    E["cands_sel"] = (
+        F.col("target").alias("url"),
+        F.col("parent_ordinal"),
+        F.col("link_seq"),
+        F.col("via"),
+        extend_hops_path_col(F.col("via_hops_path"), F.col("hop_char")).alias(
+            "hops_path"
+        ),
+    )
+    if cfg.robots_prereq:
+        E["prereq_sel"] = (
+            F.concat(
+                F.regexp_extract(F.col("canon_url"), r"^(https?://[^/]+)", 1),
+                F.lit("/robots.txt"),
+            ).alias("url"),
+            F.col("ordinal").alias("parent_ordinal"),
+            F.lit(-1).cast("long").alias("link_seq"),
+            F.col("canon_url").alias("via"),
+            extend_hops_path_col(F.col("hops_path"), F.lit("P")).alias("hops_path"),
+            F.greatest(F.col("directive") - 1, F.lit(0))
+            .cast("int")
+            .alias("__directive_override"),
+            F.lit(True).alias("force_fetch"),
+        )
+    E["prep_col"] = url_prep_struct_col("url")
+    E["scope_filter"] = default_scope(
+        F.col("url"),
+        F.col("hops_path"),
+        list(seed_prefixes),
+        cfg,
+        surt=F.col("__prep.surt"),
+    )
+    directive_plain = scheduling_directive_col(
+        F.col("hops_path"), F.lit(NORMAL).cast("int"), cfg
+    )
+    E["directive_col"] = (
+        F.coalesce(F.col("__directive_override"), directive_plain)
+        if cfg.robots_prereq
+        else directive_plain
+    ).cast("int")
+    E["cost_col"] = unit_cost_col().cast("int")
+    E["precedence_col"] = cost_uri_precedence_col(F.col("cost")).cast("int")
+
+    # ---- frontier maintenance
+    E["novel_sel"] = (
+        F.col("url"),
+        F.col("canon_url"),
+        F.col("class_key"),
+        F.col("directive"),
+        F.col("precedence"),
+        F.col("ordinal"),
+        F.col("cost"),
+        F.col("hops_path"),
+        F.col("via"),
+        F.lit(0).cast("int").alias("attempts"),
+        F.lit(0).cast("int").alias("deferrals"),
+        F.lit(0).cast("int").alias("recrawls"),
+    )
+    E["retry_attempts"] = F.when(
+        F.col("fetch_status") == S_DEFERRED, F.col("attempts")
+    ).otherwise(F.col("attempts") + 1)
+    E["retry_deferrals"] = F.when(
+        F.col("fetch_status") == S_DEFERRED, F.col("deferrals") + 1
+    ).otherwise(F.col("deferrals"))
+    E["reschedulable"] = (
+        (F.col("disposition") == "success")
+        & (F.col("hops_path") == "")
+        & (F.col("recrawls") < cfg.max_recrawls)
+    )
+
+    # ---- host/budget update
+    delay_expr = (
+        F.when(
+            F.col("disposition").isin("success", "failure"),
+            politeness_delay_col(
+                F.col("fetch_duration_ms"),
+                F.col("crawl_delay"),
+                cfg,
+                delay_factor=F.col("__o_delay_factor"),
+                min_delay_ms=F.col("__o_min_delay_ms"),
+                max_delay_ms=F.col("__o_max_delay_ms"),
+            ),
+        )
+        .when(
+            F.col("disposition") == "retry",
+            F.when(F.col("fetch_status") == S_DEFERRED, F.lit(0)).otherwise(
+                F.lit(cfg.retry_delay_s * 1000)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    E["delay_expr"] = delay_expr
+    if cfg.max_per_host_kb_sec > 0:
+        content_bytes = F.coalesce(
+            F.aggregate(
+                F.col("spans"),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.length(F.coalesce(s["text"], F.lit("")))
+                + F.length(F.coalesce(s["media_ref"], F.lit(""))),
+            ),
+            F.lit(0).cast("long"),
+        )
+        bw_ms = F.when(
+            F.col("fetch_status").isin(200, 301),
+            F.floor(content_bytes * 1000 / F.lit(cfg.max_per_host_kb_sec * 1024)),
+        ).otherwise(F.lit(0)).cast("long")
+        E["wake_delay"] = F.greatest(delay_expr, bw_ms)
+    else:
+        E["wake_delay"] = delay_expr
+    E["expend"] = expenditure_col(
+        F.col("disposition"), F.col("cost"), F.col("fetch_status"), cfg
+    ).alias("expend")
+    E["succ_inc"] = (
+        F.when(F.col("disposition") == "success", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("succ_inc")
+    )
+    E["pending_delta"] = (
+        F.when(F.col("disposition") == "retry", F.lit(0))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("pending_delta")
+    )
+    E["updated_sel"] = (
+        F.col("class_key"),
+        (
+            F.col("pending")
+            + F.coalesce(F.col("__novel_cnt"), F.lit(0))
+            + F.coalesce(F.col("__extra"), F.lit(0))
+            + F.coalesce(F.col("pending_delta"), F.lit(0))
+        ).alias("pending"),
+        F.coalesce(F.col("new_wake"), F.col("wake_time")).alias("wake_time"),
+        (F.col("total_expenditure") + F.coalesce(F.col("expend"), F.lit(0))).alias(
+            "total_expenditure"
+        ),
+        (F.col("succeeded") + F.coalesce(F.col("succ_inc"), F.lit(0))).alias(
+            "succeeded"
+        ),
+        F.col("retired"),
+        F.coalesce(F.col("new_robots_fetched"), F.col("robots_fetched")).alias(
+            "robots_fetched"
+        ),
+        (F.col("session_spent") + F.coalesce(F.col("expend"), F.lit(0))).alias(
+            "session_spent"
+        ),
+        F.col("activation_seq"),
+        F.coalesce(F.col("__o_total_budget"), F.lit(float(cfg.total_budget)))
+        .alias("__eff_tb"),
+        F.coalesce(F.col("__o_session_budget"), F.lit(float(cfg.session_budget)))
+        .alias("__eff_sb"),
+    )
+    E["retired_col"] = F.col("retired") | (
+        (F.col("__eff_tb") >= 0)
+        & (F.col("total_expenditure") > F.col("__eff_tb"))
+    )
+    E["over_session"] = F.col("session_spent") > F.col("__eff_sb")
+    E["session_spent_col"] = F.when(F.col("__over_session"), F.lit(0)).otherwise(
+        F.col("session_spent")
+    )
+    E["new_hosts_static"] = (
+        F.col("class_key"),
+        F.col("__novel_cnt").alias("pending"),
+        F.lit(0).cast("long").alias("wake_time"),
+        F.lit(0).cast("long").alias("total_expenditure"),
+        F.lit(0).cast("long").alias("succeeded"),
+        F.lit(False).alias("retired"),
+        F.lit(-1).cast("long").alias("robots_fetched"),
+        F.lit(0).cast("long").alias("session_spent"),
+    )
+
+    # ---- outputs
+    E["seen_shard"] = shard_col("canon_url", cfg.n_seen_shards).alias("shard")
+    E["fetch_log_tail"] = (
+        F.col("class_key"),
+        F.col("url"),
+        F.col("canon_url"),
+        F.col("ordinal"),
+        F.col("directive"),
+        F.col("precedence"),
+        F.col("fetch_status"),
+        F.col("disposition"),
+        F.col("cost"),
+        F.coalesce(F.col("politeness_delay_ms"), F.lit(0)).alias(
+            "politeness_delay_ms"
+        ),
+        F.col("hops_path"),
+        F.col("via"),
+    )
+    E["lineage_tag_disp"] = (
+        F.when(F.col("disposition") == "success", F.lit("Fs"))
+        .when(F.col("disposition") == "disregard", F.lit("Fd"))
+        .when(F.col("disposition") == "retry", F.lit("Fr"))
+        .otherwise(F.lit("Ff"))
+        .alias("tag")
+    )
+    E["partition_id"] = F.spark_partition_id().alias("partition_id")
+
+    def _n(d: str):
+        return F.sum((F.col("disposition") == d).cast("long"))
+
+    E["metrics_aggs"] = (
+        F.count("*").alias("emitted"),
+        _n("success").alias("succeeded"),
+        _n("failure").alias("failed"),
+        _n("disregard").alias("disregarded"),
+        _n("retry").alias("retried"),
+        (
+            F.sum(E["reschedulable"].cast("long"))
+            if cfg.recrawl_interval_ms >= 0
+            else F.lit(0).cast("long")
+        ).alias("rescheduled"),
+    )
+    return E
 
 
 def run_round(
@@ -382,17 +704,16 @@ def run_round(
             frontier, host_state, cfg, extra_pending=injected_counts
         )
 
+    # static expression templates, built once per crawl (colcache)
+    E = _round_exprs(cfg, tuple(seed_surt_prefixes))
     ready = eligible.filter(F.col("wake_time") <= F.lit(now))
     if cfg.max_hosts_per_round > 0:
         # precedence-ordered activation: best (lowest) queue precedence
         # first, then FIFO inactive order (activation_seq — hosts that
         # rotated out over session budget go to the back), class_key
         # tiebreak (activateInactiveQueue :753-786)
-        act_w = Window.orderBy(
-            F.asc("__qprec"), F.asc("activation_seq"), F.asc("class_key")
-        )
         ready = (
-            ready.withColumn("__arank", F.row_number().over(act_w))
+            ready.withColumn("__arank", E["act_w_rank"])
             .filter(F.col("__arank") <= cfg.max_hosts_per_round)
             .drop("__arank")
         )
@@ -409,27 +730,11 @@ def run_round(
     #    shuffle every row first. Ordinal is unique per host, so the
     #    min never reaches the non-ordering fields — deterministic.
     ready_hosts = ready.select("class_key", "robots_fetched")
-    head_fields = [c for c in FRONTIER_COLUMNS if c != "class_key"] + [
-        "delta_round",
-        "robots_fetched",
-    ]
-    order_first = ["directive", "precedence", "ordinal"]
-    head_rest = [c for c in head_fields if c not in order_first]
     emitted = (
         frontier.join(F.broadcast(ready_hosts), on="class_key", how="inner")
         .groupBy("class_key")
-        .agg(
-            F.min(
-                F.struct(
-                    *[F.col(c) for c in order_first],
-                    *[F.col(c) for c in head_rest],
-                )
-            ).alias("__head")
-        )
-        .select(
-            "class_key",
-            *[F.col(f"__head.{c}").alias(c) for c in (*order_first, *head_rest)],
-        )
+        .agg(E["head_agg"])
+        .select("class_key", *E["head_sel"])
     )
 
     # ---- fetch (spec step 2): robots gate + docs join
@@ -438,62 +743,20 @@ def run_round(
     # :203-245): with robots never fetched, a non-robots emission defers
     # (S_DEFERRED) and force-schedules http://host/robots.txt with hop 'P';
     # the robots URI itself is exempt from deferral and preclusion.
-    if cfg.robots_prereq:
-        is_robots_uri = F.col("canon_url").rlike(ROBOTS_URI_PATTERN)
-        defer_cond = (F.col("robots_fetched") < 0) & ~is_robots_uri
-    else:
-        is_robots_uri = F.lit(False)
-        defer_cond = F.lit(False)
+    # (fetch_status / duration / disposition trees live in
+    # _build_round_exprs; a doc whose first span is kind='redirect'
+    # models a 301 whose Location is that span's media_ref.)
+    is_robots_uri = E["is_robots_uri"]
+    from heritrix_spark.constants import S_DEFERRED
+
     docs_sel = docs.select(F.col("doc_id"), F.col("spans"))
     fetched = emitted.join(
         docs_sel, on=emitted["canon_url"] == docs_sel["doc_id"], how="left"
     ).drop("doc_id")
-    total_text = F.aggregate(
-        F.col("spans"),
-        F.lit(0),
-        lambda acc, s: acc + F.length(F.coalesce(s["text"], F.lit(""))),
-    )
-    duration_found = F.lit(10) + F.pmod(
-        total_text + F.lit(7) * F.size("spans"), F.lit(491)
-    )
-    is_flaky = (
-        F.conv(F.substring(F.md5(F.col("canon_url")), 1, 2), 16, 10).cast("int")
-        % 7
-        == 0
-    ) if cfg.flaky_first_attempt else F.lit(False)
-    # a doc whose first span is kind='redirect' models a 301 response
-    # whose Location header is that span's media_ref (ExtractorHTTP)
-    is_redirect = (
-        F.col("spans").isNotNull()
-        & (F.size("spans") > 0)
-        & (F.element_at(F.col("spans"), 1)["kind"] == F.lit("redirect"))
-    )
-    from heritrix_spark.constants import S_DEFERRED
-
     fetched = (
-        fetched.withColumn(
-            "fetch_status",
-            F.when(defer_cond, F.lit(S_DEFERRED))
-            .when(~F.col("robots_allowed") & ~is_robots_uri, F.lit(S_ROBOTS_PRECLUDED))
-            .when(
-                F.col("spans").isNotNull() & is_flaky & (F.col("attempts") == 0),
-                F.lit(S_CONNECT_FAILED),
-            )
-            .when(is_redirect, F.lit(301))
-            .when(F.col("spans").isNotNull(), F.lit(200))
-            .otherwise(F.lit(404)),
-        )
-        .withColumn(
-            "fetch_duration_ms",
-            F.when(F.col("fetch_status") == 200, duration_found)
-            .when(F.col("fetch_status") == 301, F.lit(15))
-            .when(F.col("fetch_status") == 404, F.lit(25))
-            .otherwise(F.lit(0))
-            .cast("long"),
-        )
-        .withColumn(
-            "disposition", disposition_col(F.col("fetch_status"), F.col("attempts"), cfg)
-        )
+        fetched.withColumn("fetch_status", E["fetch_status"])
+        .withColumn("fetch_duration_ms", E["fetch_duration"])
+        .withColumn("disposition", E["disposition"])
     )
     fetched = fetched.persist()
 
@@ -506,17 +769,7 @@ def run_round(
     links = extract_outlinks(
         extractable, max_outlinks=cfg.max_outlinks, url_col="canon_url"
     )
-    from heritrix_spark.functions.hops import extend_hops_path_col
-
-    cands = links.select(
-        F.col("target").alias("url"),
-        F.col("parent_ordinal"),
-        F.col("link_seq"),
-        F.col("via"),
-        extend_hops_path_col(F.col("via_hops_path"), F.col("hop_char")).alias(
-            "hops_path"
-        ),
-    )
+    cands = links.select(*E["cands_sel"])
     if cfg.robots_prereq:
         # prerequisite candidates (CrawlURI.markPrerequisite :1875-1896):
         # one per deferred emission, link_seq = -1 so the prereq sorts
@@ -525,55 +778,20 @@ def run_round(
         # seen check (UriUniqFilter.addForce). Routed to the via's queue
         # (getPolicyBasisUURI :1731-1742) — same authority, same class_key.
         prereq_cands = fetched.filter(F.col("fetch_status") == S_DEFERRED).select(
-            F.concat(
-                F.regexp_extract(F.col("canon_url"), r"^(https?://[^/]+)", 1),
-                F.lit("/robots.txt"),
-            ).alias("url"),
-            F.col("ordinal").alias("parent_ordinal"),
-            F.lit(-1).cast("long").alias("link_seq"),
-            F.col("canon_url").alias("via"),
-            extend_hops_path_col(F.col("hops_path"), F.lit("P")).alias("hops_path"),
-            F.greatest(F.col("directive") - 1, F.lit(0))
-            .cast("int")
-            .alias("__directive_override"),
-            F.lit(True).alias("force_fetch"),
+            *E["prereq_sel"]
         )
         cands = cands.withColumn(
             "__directive_override", F.lit(None).cast("int")
         ).withColumn("force_fetch", F.lit(False)).unionByName(prereq_cands)
-    from heritrix_spark.functions.surt import url_prep_struct_col
-
-    cands = cands.withColumn("__prep", url_prep_struct_col("url"))
-    cands = cands.filter(
-        default_scope(
-            F.col("url"),
-            F.col("hops_path"),
-            seed_surt_prefixes,
-            cfg,
-            surt=F.col("__prep.surt"),
-        )
-    )
+    cands = cands.withColumn("__prep", E["prep_col"])
+    cands = cands.filter(E["scope_filter"])
     cands = (
         cands.withColumn("canon_url", F.col("__prep.canon_url"))
         .withColumn("class_key", F.col("__prep.class_key"))
         .drop("__prep")
-        .withColumn(
-            "directive",
-            (
-                F.coalesce(
-                    F.col("__directive_override"),
-                    scheduling_directive_col(
-                        F.col("hops_path"), F.lit(NORMAL).cast("int"), cfg
-                    ),
-                )
-                if cfg.robots_prereq
-                else scheduling_directive_col(
-                    F.col("hops_path"), F.lit(NORMAL).cast("int"), cfg
-                )
-            ).cast("int"),
-        )
-        .withColumn("cost", unit_cost_col().cast("int"))
-        .withColumn("precedence", cost_uri_precedence_col(F.col("cost")).cast("int"))
+        .withColumn("directive", E["directive_col"])
+        .withColumn("cost", E["cost_col"])
+        .withColumn("precedence", E["precedence_col"])
     )
     if cfg.robots_prereq:
         cands = cands.drop("__directive_override")
@@ -606,19 +824,7 @@ def run_round(
     new_max_ordinal = max_ordinal + n_novel
 
     novel_frontier = novel.select(
-        "url",
-        "canon_url",
-        "class_key",
-        "directive",
-        "precedence",
-        "ordinal",
-        "cost",
-        "hops_path",
-        F.col("via"),
-        F.lit(0).cast("int").alias("attempts"),
-        F.lit(0).cast("int").alias("deferrals"),
-        F.lit(0).cast("int").alias("recrawls"),
-        F.lit(round_no).cast("int").alias("delta_round"),
+        *E["novel_sel"], F.lit(round_no).cast("int").alias("delta_round")
     )
 
     # ---- frontier update: drop emitted, re-enqueue retries, add novel
@@ -631,18 +837,8 @@ def run_round(
     remaining = frontier.join(emitted_ordinals, on="ordinal", how="left_anti")
     retries = (
         fetched.filter(F.col("disposition") == "retry")
-        .withColumn(
-            "attempts",
-            F.when(F.col("fetch_status") == S_DEFERRED, F.col("attempts")).otherwise(
-                F.col("attempts") + 1
-            ),
-        )
-        .withColumn(
-            "deferrals",
-            F.when(
-                F.col("fetch_status") == S_DEFERRED, F.col("deferrals") + 1
-            ).otherwise(F.col("deferrals")),
-        )
+        .withColumn("attempts", E["retry_attempts"])
+        .withColumn("deferrals", E["retry_deferrals"])
         .select(*FRONTIER_COLUMNS)
         .withColumn("delta_round", F.lit(round_no).cast("int"))
     )
@@ -661,11 +857,7 @@ def run_round(
         )
 
     # ---- future rescheduling (spec step 7: recrawl successful seeds)
-    reschedulable = (
-        (F.col("disposition") == "success")
-        & (F.col("hops_path") == "")
-        & (F.col("recrawls") < cfg.max_recrawls)
-    )
+    reschedulable = E["reschedulable"]
     if cfg.recrawl_interval_ms >= 0:
         to_future = fetched.filter(reschedulable).select(
             "url",
@@ -692,65 +884,20 @@ def run_round(
     # ---- host/budget update (spec step 6)
     # per-host sheet overlays ride a broadcast join keyed on class_key;
     # nulls fall back to global cfg inside each formula
+    # (delay/bandwidth/expenditure trees live in _build_round_exprs:
+    # retryDelayFor :836-841 — S_DEFERRED re-enqueues without snoozing;
+    # bandwidth throttle DispositionProcessor.java:263-290, effective
+    # wake = max(politeness wake, now + bytes*1000/(kb*1024)), integer
+    # division keeps engine and oracle bit-identical.)
     fetched_o = _overlay(fetched, host_config)
-    delay_expr = (
-        F.when(
-            F.col("disposition").isin("success", "failure"),
-            politeness_delay_col(
-                F.col("fetch_duration_ms"),
-                F.col("crawl_delay"),
-                cfg,
-                delay_factor=F.col("__o_delay_factor"),
-                min_delay_ms=F.col("__o_min_delay_ms"),
-                max_delay_ms=F.col("__o_max_delay_ms"),
-            ),
-        )
-        .when(
-            F.col("disposition") == "retry",
-            # retryDelayFor :836-841 — S_DEFERRED re-enqueues without
-            # snoozing so the prerequisite is fetched next emission
-            F.when(F.col("fetch_status") == S_DEFERRED, F.lit(0)).otherwise(
-                F.lit(cfg.retry_delay_s * 1000)
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-    )
-    # bandwidth throttle (DispositionProcessor.java:263-290): effective
-    # wake = max(politeness wake, now + bytes*1000/(kb*1024)). Off by
-    # default (reference maxPerHostBandwidthUsageKbSec = 0). Integer
-    # division keeps engine and oracle bit-identical.
-    if cfg.max_per_host_kb_sec > 0:
-        content_bytes = F.coalesce(
-            F.aggregate(
-                F.col("spans"),
-                F.lit(0).cast("long"),
-                lambda acc, s: acc
-                + F.length(F.coalesce(s["text"], F.lit("")))
-                + F.length(F.coalesce(s["media_ref"], F.lit(""))),
-            ),
-            F.lit(0).cast("long"),
-        )
-        bw_ms = F.when(
-            F.col("fetch_status").isin(200, 301),
-            F.floor(content_bytes * 1000 / F.lit(cfg.max_per_host_kb_sec * 1024)),
-        ).otherwise(F.lit(0)).cast("long")
-        wake_delay = F.greatest(delay_expr, bw_ms)
-    else:
-        wake_delay = delay_expr
     host_updates = fetched_o.select(
         "class_key",
         F.col("__o_total_budget"),
         F.col("__o_session_budget"),
-        expenditure_col(
-            F.col("disposition"), F.col("cost"), F.col("fetch_status"), cfg
-        ).alias("expend"),
-        (F.lit(now) + wake_delay).cast("long").alias("new_wake"),
-        delay_expr.alias("politeness_delay_ms"),
-        F.when(F.col("disposition") == "success", F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("succ_inc"),
+        E["expend"],
+        (F.lit(now) + E["wake_delay"]).cast("long").alias("new_wake"),
+        E["delay_expr"].alias("politeness_delay_ms"),
+        E["succ_inc"],
         # any completed robots.txt fetch stamps the host (CrawlServer.updateRobots
         # :138 — a 404 means allow-all but still counts as fetched)
         F.when(
@@ -760,10 +907,7 @@ def run_round(
         .alias("new_robots_fetched"),
         # queue item-count delta from this emission: a retry (incl.
         # deferral) re-enqueues the row, anything else leaves for good
-        F.when(F.col("disposition") == "retry", F.lit(0))
-        .otherwise(F.lit(-1))
-        .cast("long")
-        .alias("pending_delta"),
+        E["pending_delta"],
     )
     # per-queue novel additions (one tiny aggregate over the delta —
     # pending is maintained in O(changed rows), never from the frontier)
@@ -791,60 +935,18 @@ def run_round(
             if injected_counts is not None
             else d.withColumn("__extra", F.lit(None).cast("long"))
         )
-        .select(
-            "class_key",
-            (
-                F.col("pending")
-                + F.coalesce(F.col("__novel_cnt"), F.lit(0))
-                + F.coalesce(F.col("__extra"), F.lit(0))
-                + F.coalesce(F.col("pending_delta"), F.lit(0))
-            ).alias("pending"),
-            F.coalesce(F.col("new_wake"), F.col("wake_time")).alias("wake_time"),
-            (F.col("total_expenditure") + F.coalesce(F.col("expend"), F.lit(0))).alias(
-                "total_expenditure"
-            ),
-            (F.col("succeeded") + F.coalesce(F.col("succ_inc"), F.lit(0))).alias(
-                "succeeded"
-            ),
-            F.col("retired"),
-            F.coalesce(F.col("new_robots_fetched"), F.col("robots_fetched")).alias(
-                "robots_fetched"
-            ),
-            (F.col("session_spent") + F.coalesce(F.col("expend"), F.lit(0))).alias(
-                "session_spent"
-            ),
-            F.col("activation_seq"),
-            # effective budgets under per-host overlays: evaluated where
-            # expenditure changed (= emitting hosts this round); a
-            # non-emitting host's budgets were evaluated the round its
-            # expenditure last changed
-            F.coalesce(F.col("__o_total_budget"), F.lit(float(cfg.total_budget)))
-            .alias("__eff_tb"),
-            F.coalesce(F.col("__o_session_budget"), F.lit(float(cfg.session_budget)))
-            .alias("__eff_sb"),
-        )
-        .withColumn(
-            "retired",
-            F.col("retired")
-            | (
-                (F.col("__eff_tb") >= 0)
-                & (F.col("total_expenditure") > F.col("__eff_tb"))
-            ),
-        )
+        # effective budgets under per-host overlays: evaluated where
+        # expenditure changed (= emitting hosts this round); a
+        # non-emitting host's budgets were evaluated the round its
+        # expenditure last changed
+        .select(*E["updated_sel"])
+        .withColumn("retired", E["retired_col"])
         # duty cycle: over session budget → deactivate (reset spent,
         # move to the back of the activation line). With unbounded
         # activation this is observably a no-op (the host re-activates
         # next round regardless), matching unbounded toe threads.
-        .withColumn(
-            "__over_session",
-            F.col("session_spent") > F.col("__eff_sb"),
-        )
-        .withColumn(
-            "session_spent",
-            F.when(F.col("__over_session"), F.lit(0)).otherwise(
-                F.col("session_spent")
-            ),
-        )
+        .withColumn("__over_session", E["over_session"])
+        .withColumn("session_spent", E["session_spent_col"])
         .withColumn(
             "activation_seq",
             F.when(F.col("__over_session"), F.lit(round_no).cast("long")).otherwise(
@@ -858,14 +960,7 @@ def run_round(
             host_state.select("class_key"), on="class_key", how="left_anti"
         )
         .select(
-            "class_key",
-            F.col("__novel_cnt").alias("pending"),
-            F.lit(0).cast("long").alias("wake_time"),
-            F.lit(0).cast("long").alias("total_expenditure"),
-            F.lit(0).cast("long").alias("succeeded"),
-            F.lit(False).alias("retired"),
-            F.lit(-1).cast("long").alias("robots_fetched"),
-            F.lit(0).cast("long").alias("session_spent"),
+            *E["new_hosts_static"],
             # new hosts join the back of the inactive line this round
             F.lit(round_no).cast("long").alias("activation_seq"),
         )
@@ -873,9 +968,7 @@ def run_round(
     host_state_next = updated.unionByName(new_hosts)
 
     # ---- outputs: seen delta, fetch log, lineage, metrics
-    url_seen_delta = novel.select(
-        "canon_url", shard_col("canon_url", cfg.n_seen_shards).alias("shard")
-    )
+    url_seen_delta = novel.select("canon_url", E["seen_shard"])
     if cfg.robots_prereq:
         # forced (addForce) rows may already be members; keep the seen
         # table duplicate-free (the delta is small — one anti-join probe)
@@ -891,20 +984,7 @@ def run_round(
         .select(
             F.lit(round_no).alias("round"),
             F.lit(now).cast("long").alias("now_ms"),
-            "class_key",
-            "url",
-            "canon_url",
-            "ordinal",
-            "directive",
-            "precedence",
-            "fetch_status",
-            "disposition",
-            "cost",
-            F.coalesce(F.col("politeness_delay_ms"), F.lit(0)).alias(
-                "politeness_delay_ms"
-            ),
-            "hops_path",
-            "via",
+            *E["fetch_log_tail"],
         )
     )
     lineage = (
@@ -913,19 +993,15 @@ def run_round(
             F.lit("Fe").alias("tag"),
             "canon_url",
             "class_key",
-            F.spark_partition_id().alias("partition_id"),
+            E["partition_id"],
         )
         .unionByName(
             fetched.select(
                 F.lit(round_no).alias("round"),
-                F.when(F.col("disposition") == "success", F.lit("Fs"))
-                .when(F.col("disposition") == "disregard", F.lit("Fd"))
-                .when(F.col("disposition") == "retry", F.lit("Fr"))
-                .otherwise(F.lit("Ff"))
-                .alias("tag"),
+                E["lineage_tag_disp"],
                 "canon_url",
                 "class_key",
-                F.spark_partition_id().alias("partition_id"),
+                E["partition_id"],
             )
         )
         .unionByName(
@@ -934,26 +1010,12 @@ def run_round(
                 F.lit("F+").alias("tag"),
                 "canon_url",
                 "class_key",
-                F.spark_partition_id().alias("partition_id"),
+                E["partition_id"],
             )
         )
     )
 
-    def _n(d: str):
-        return F.sum((F.col("disposition") == d).cast("long"))
-
-    metrics_agg = fetched.agg(
-        F.count("*").alias("emitted"),
-        _n("success").alias("succeeded"),
-        _n("failure").alias("failed"),
-        _n("disregard").alias("disregarded"),
-        _n("retry").alias("retried"),
-        (
-            F.sum(reschedulable.cast("long"))
-            if cfg.recrawl_interval_ms >= 0
-            else F.lit(0).cast("long")
-        ).alias("rescheduled"),
-    )
+    metrics_agg = fetched.agg(*E["metrics_aggs"])
     metrics = {
         "round": round_no,
         "now_ms": now,

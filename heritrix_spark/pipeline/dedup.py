@@ -252,7 +252,11 @@ def simhash_from_hashes_col(
 
 
 def simhash_votes(
-    docs: DataFrame, text_col: str, id_col: str, n_bits: int
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bits: int,
+    repartition: bool = True,
 ) -> DataFrame:
     """Per-document SimHash bit-vote sums ``(doc, __v0..__v{n-1})`` in
     the whole-stage-codegen shape: explode tokens → md5_60 per ROW
@@ -264,10 +268,18 @@ def simhash_votes(
     are order-independent integer sums, so the fingerprints are
     bit-identical to the HOF form (pinned by tests). The groupBy
     shuffles one partial row per (doc, input partition) — at 100 TB
-    this is the same single-exchange shape, never the token stream."""
+    this is the same single-exchange shape, never the token stream.
+
+    ``repartition=True`` (default) round-robins the input first: local
+    parquet reads of a small, highly-compressed corpus yield fewer
+    splits than cores. At production scale the scan already supplies
+    ≥cores partitions — pass False so the raw text payloads are never
+    shuffled (the vote partials are the only exchange)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
+    if repartition:
+        docs = docs.repartition(par)
     tok = (
-        docs.repartition(par)
+        docs
         .select(
             F.col(id_col).alias("doc"),
             F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__t"),

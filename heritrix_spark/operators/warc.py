@@ -419,3 +419,98 @@ def write_warc(records: DataFrame, out_dir: str, num_files: int | None = None):
     if num_files:
         out = out.repartition(num_files)
     out.write.mode("overwrite").text(out_dir)
+
+
+# ------------------------------------------------------------------ reader
+
+READ_WARC_SCHEMA = (
+    "record_id string, warc_type string, target_uri string, "
+    "warc_date string, content_type string, content_length long, "
+    "block string, headers map<string,string>, source_file string"
+)
+
+
+def parse_warc_bytes(data: bytes, source: str = "") -> list[dict]:
+    """Content-length-framed WARC parse of one file's bytes (pure
+    Python, unit-testable; the distributed entry is :func:`read_warc`).
+    Header layout per WARCWriter.createRecordHeader
+    (WARCWriter.java:176-206): version line, named headers, blank line,
+    Content-Length octets of block, two CRLFs between records. Never
+    splits on block content — only the declared Content-Length frames
+    the block, so blocks containing 'WARC/1.0' or blank lines parse
+    correctly (the reason a regex split would be wrong)."""
+    out: list[dict] = []
+    pos, n = 0, len(data)
+    magic = WARC_VERSION.encode()
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if not data.startswith(magic, pos):
+            raise ValueError(f"bad record magic at offset {pos} in {source!r}")
+        hdr_end = data.index(b"\r\n\r\n", pos)
+        lines = data[pos:hdr_end].decode("utf-8").split(CRLF)
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(": ")
+            headers[k] = v
+        length = int(headers["Content-Length"])
+        block_start = hdr_end + 4
+        block = data[block_start : block_start + length]
+        pos = block_start + length
+        out.append(
+            {
+                "record_id": headers.get("WARC-Record-ID", "").strip("<>"),
+                "warc_type": headers.get("WARC-Type", ""),
+                "target_uri": headers.get("WARC-Target-URI", ""),
+                "warc_date": headers.get("WARC-Date", ""),
+                "content_type": headers.get("Content-Type", ""),
+                "content_length": length,
+                "block": block.decode("utf-8"),
+                "headers": headers,
+                "source_file": source,
+            }
+        )
+    return out
+
+
+def read_warc(spark, path: str) -> DataFrame:
+    """WARC source: parse .warc part files back into the RECORD_COLUMNS
+    shape (the reference reads its own WARCs for revisit/dedup history —
+    WARCWriterProcessor revisit records key off previously written
+    digests). Spark-first shape: ``binaryFile`` scan (one task per
+    file — WARCs are record-framed, not line-framed, so files are the
+    natural split unit, as in warcbase/ArchiveSpark's input formats) →
+    ``mapInPandas`` running the content-length-framed parser per file,
+    Arrow-batched, never per-row Python. At 100 TB the unit of
+    parallelism is the file (the writer pool's maxBytes rotation keeps
+    files bounded), so task count tracks corpus size."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(pdfs):
+        for pdf in pdfs:
+            rows: list[dict] = []
+            for src, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_warc_bytes(bytes(content), source=src))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "record_id",
+                    "warc_type",
+                    "target_uri",
+                    "warc_date",
+                    "content_type",
+                    "content_length",
+                    "block",
+                    "headers",
+                    "source_file",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(
+        parse, schema=READ_WARC_SCHEMA
+    )

@@ -2389,3 +2389,75 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# -------------------------------------------------- 48. WARC write -> read roundtrip
+
+
+@register("warc_roundtrip", _warc_oracle())
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full WARC sink+source loop: assemble records (operators/warc.py),
+    write real .warc part files, parse them back with read_warc
+    (binaryFile → mapInPandas content-length-framed parser), and
+    recompute the digest/linkage columns FROM THE PARSED BYTES. The
+    oracle is the same SQL as `warc_records`, so a green row proves the
+    on-disk bytes round-trip to the exact record set the reference's
+    WARCWriter layout implies (WARCWriter.java:176-206,265-274)."""
+    import tempfile
+
+    from heritrix_spark.operators.warc import read_warc, warc_records, write_warc
+    from heritrix_spark.pipeline.dedup import base32_of_hex160_col
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    fetches = spark.sql(_WARC_FETCH_SPARK).withColumn(
+        "content", F.coalesce(F.col("text"), F.lit(""))
+    )
+    recs = warc_records(
+        fetches,
+        url_col="url",
+        time_ms_col="fetch_time_ms",
+        content_col="content",
+        via_col="via",
+        hops_col="hops",
+        duration_ms_col="dur",
+        digest="sha256_160",
+    )
+    with tempfile.TemporaryDirectory(prefix="hxwarc_") as tmp:
+        write_warc(recs, f"{tmp}/warc", num_files=4)
+        parsed = read_warc(spark, f"{tmp}/warc").select(
+            "record_id",
+            "warc_type",
+            "target_uri",
+            "warc_date",
+            "content_type",
+            F.col("content_length").cast("long").alias("content_length"),
+            F.element_at(F.col("headers"), "WARC-Payload-Digest").alias(
+                "payload_digest"
+            ),
+            F.concat(
+                F.lit("sha256-160:"),
+                base32_of_hex160_col(
+                    F.substring(F.sha2(F.col("block"), 256), 1, 40)
+                ),
+            ).alias("block_digest"),
+            F.regexp_replace(
+                F.coalesce(
+                    F.element_at(F.col("headers"), "WARC-Concurrent-To"),
+                    F.lit(""),
+                ),
+                r"[<>]",
+                "",
+            ).alias("concurrent_to"),
+            # match the oracle's null (vs empty) linkage semantics
+        ).withColumn(
+            "concurrent_to",
+            F.when(F.col("concurrent_to") == "", F.lit(None)).otherwise(
+                F.col("concurrent_to")
+            ),
+        )
+        out = parsed.orderBy("target_uri", "warc_type")
+        # detach from the tempdir before it vanishes
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out

@@ -2461,3 +2461,103 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # detach from the tempdir before it vanishes
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
+
+
+# -------------------------------------------------- 49. multimodal features
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table in pipeline.multimodal.MEDIA_SCHEMA
+    shape, derived from the documents fixture (payload = the doc text's
+    UTF-8 bytes as an opaque binary column; kind/duration keyed off
+    doc_id so DuckDB can rebuild the identical rows)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias(
+            "payload"
+        ),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.col("doc_id") % 7 * 160 + 320).cast("int").alias("width"),
+        (F.col("doc_id") % 7 * 90 + 180).cast("int").alias("height"),
+        (F.col("doc_id") % 9 * 1000 + 500).cast("long").alias("duration_ms"),
+    )
+
+
+def _multimodal_oracle() -> str:
+    fcols = ",\n      ".join(
+        f"round((('0x' || substr(m, {2 * i + 1}, 2))::int) / 255.0, 6)"
+        f" as f{i}"
+        for i in range(8)
+    )
+    return f"""
+    with media as (
+      select cast(doc_id as varchar) as media_id,
+        ['image','audio','video'][cast(doc_id % 3 + 1 as int)] as kind,
+        coalesce(text, '') as content
+      from documents)
+    select media_id, kind,
+      cast(octet_length(encode(content)) as bigint) as n_bytes,
+      {fcols}
+    from (select *, md5(content) as m from media)
+    order by media_id
+    """
+
+
+@register("multimodal_features", _multimodal_oracle())
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + feature-extract plumbing as a driver row: the
+    Arrow-batched mapInPandas path (pipeline/multimodal.extract_features)
+    runs the deterministic fake decoder (md5-seeded — the honest stub
+    for PIL/ffmpeg, which this container lacks), and DuckDB recomputes
+    the identical features from the same bytes, proving the distributed
+    batch shape delivers exactly the payload bytes to the codec. Feature
+    floats are re-rounded at double precision so both engines emit the
+    same 6-decimal values (float32 storage would drift the comparison)."""
+    from heritrix_spark.pipeline.multimodal import extract_features
+
+    feats = extract_features(_media_df(spark, sf_dir), fake=True, dim=8)
+    fcols = [
+        F.round(F.element_at(F.col("feature"), i + 1).cast("double"), 6).alias(
+            f"f{i}"
+        )
+        for i in range(8)
+    ]
+    return feats.select("media_id", "kind", "n_bytes", *fcols).orderBy(
+        "media_id"
+    )
+
+
+# -------------------------------------------------- 50. video frame sampling
+
+
+@register(
+    "video_frame_sample",
+    """
+    with media as (
+      select cast(doc_id as varchar) as media_id,
+        cast(doc_id % 3 + 1 as int) as kind_ix,
+        cast(doc_id % 9 * 1000 + 500 as bigint) as duration_ms
+      from documents)
+    select media_id,
+      cast(unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000))
+           as bigint) as frame_ts_ms
+    from media where kind_ix = 3
+    order by media_id, frame_ts_ms
+    """,
+)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (pipeline/multimodal.sample_video_frames):
+    frame timestamps come from metadata, so sampling is a native
+    sequence+explode — whole videos never materialize; the (stubbed)
+    codec would be applied per sampled frame afterwards."""
+    from heritrix_spark.pipeline.multimodal import sample_video_frames
+
+    frames = sample_video_frames(_media_df(spark, sf_dir), every_ms=1000)
+    return frames.select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    ).orderBy("media_id", "frame_ts_ms")

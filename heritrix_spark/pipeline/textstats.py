@@ -37,16 +37,23 @@ def bpe_ish_token_count_col(text: Column) -> Column:
     return F.size(pieces).cast("int")
 
 
-def lang_votes_col(text: Column, lang: str) -> Column:
-    """Count of profile-stopword hits for one language."""
-    toks = tokens_col(text)
+def lang_votes_from_tokens_col(toks: Column, lang: str) -> Column:
+    """Count of profile-stopword hits for one language, over a
+    pre-tokenized column (so multi-stat projections split once)."""
     profile = LANG_PROFILES[lang]
     return F.size(F.filter(toks, lambda t: t.isin(*profile))).cast("int")
 
 
-def lang_id_col(text: Column) -> Column:
+def lang_votes_col(text: Column, lang: str) -> Column:
+    return lang_votes_from_tokens_col(tokens_col(text), lang)
+
+
+def lang_id_from_tokens_col(toks: Column) -> Column:
     """argmax over language profiles; 'und' when no profile hits."""
-    votes = [(lang, lang_votes_col(text, lang)) for lang in sorted(LANG_PROFILES)]
+    votes = [
+        (lang, lang_votes_from_tokens_col(toks, lang))
+        for lang in sorted(LANG_PROFILES)
+    ]
     best_lang = F.lit("und")
     best_votes = F.lit(0)
     for lang, v in votes:  # ties break toward earlier alphabetical lang
@@ -56,20 +63,28 @@ def lang_id_col(text: Column) -> Column:
     return best_lang
 
 
-def quality_score_col(text: Column) -> Column:
+def lang_id_col(text: Column) -> Column:
+    return lang_id_from_tokens_col(tokens_col(text))
+
+
+def quality_score_from_tokens_col(toks: Column, text: Column) -> Column:
     """Composite quality heuristic in [0,1]:
     0.4·length_score + 0.3·alpha_ratio + 0.3·(1 - punct_ratio)
 
     length_score = min(n_tokens / 100, 1); alpha_ratio = alphabetic
     chars / total; punct_ratio = punctuation density. Deterministic,
     SQL-twinnable (driverq registry)."""
-    n_tok = token_count_col(text).cast("double")
+    n_tok = F.size(toks).cast("double")
     length_score = F.least(n_tok / 100.0, F.lit(1.0))
     total = F.greatest(F.length(text).cast("double"), F.lit(1.0))
     alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double")
     score = 0.4 * length_score + 0.3 * (alpha / total) + 0.3 * (1.0 - punct / total)
     return F.round(score, 6)
+
+
+def quality_score_col(text: Column) -> Column:
+    return quality_score_from_tokens_col(tokens_col(text), text)
 
 
 def fingerprint_col(text: Column, window: int = 64) -> Column:

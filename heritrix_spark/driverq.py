@@ -2570,3 +2570,223 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
     ).orderBy("media_id", "frame_ts_ms")
+
+
+# -------------------------------------------------- 51. streaming candidate ingest
+
+# Candidate feed derivation shared by both streaming queries (Spark SQL
+# ∩ DuckDB dialect). parent_ordinal == doc_id is STRICTLY INCREASING,
+# and the feed is split into files along doc_id ranges, so every
+# micro-batch covers a disjoint, increasing parent_ordinal range: the
+# stream's first-discovery-wins outcome is then exactly the global
+# first-wins along (parent_ordinal, link_seq) — SQL-expressible as one
+# row_number window regardless of how the source lumps files into
+# micro-batches (file order is mtime-deterministic). The URL space is
+# deliberately COARSE (~260 canonical URLs from 20 hosts × 13 pages,
+# www/query mess on top): at 500+ docs roughly half the candidates are
+# duplicates, so both in-batch collapse and cross-batch state dedup
+# filter real rows — a no-op dedup would fail the oracle.
+_STREAM_CAND_SQL = """
+  select cast(doc_id as bigint) as parent_ordinal,
+         cast(doc_id % 5 as bigint) as link_seq,
+         'http://' ||
+         case when doc_id % 11 = 0 then 'WWW.' when doc_id % 11 = 1 then 'www3.'
+              else '' end ||
+         'host' || cast(doc_id % 20 as string) || '.example' ||
+         '/page' || cast(doc_id % 13 as string) || '.html' ||
+         case when doc_id % 7 = 0 then '?'
+              when doc_id % 7 = 3 then '?jsessionid=' || repeat('ab12', 8)
+              else '' end as url,
+         repeat('L', cast(1 + doc_id % 3 as int)) as hops_path,
+         doc_id
+  from documents
+""".strip()
+
+
+def _write_stream_feed_file(
+    rows, feed_dir: str, k: int, n_files: int, n_docs: int, base_t: float
+) -> str:
+    """Write feed file ``k`` of ``n_files``: the doc_id-range slice
+    ``[n_docs*k/n_files, n_docs*(k+1)/n_files)`` as json-lines, mtime
+    ``base_t + 60k`` so the Structured Streaming file source processes
+    the files in slice order (strictly increasing parent_ordinal)."""
+    import json as _json
+    import os as _os
+
+    _os.makedirs(feed_dir, exist_ok=True)
+    lo, hi = n_docs * k // n_files, n_docs * (k + 1) // n_files
+    fn = _os.path.join(feed_dir, f"feed-{k:04d}.json")
+    with open(fn, "w") as f:
+        for r in rows:
+            if lo <= r["doc_id"] < hi:
+                f.write(
+                    _json.dumps(
+                        {
+                            "url": r["url"],
+                            "parent_ordinal": r["parent_ordinal"],
+                            "link_seq": r["link_seq"],
+                            "hops_path": r["hops_path"],
+                        }
+                    )
+                    + "\n"
+                )
+    _os.utime(fn, (base_t + 60 * k, base_t + 60 * k))
+    return fn
+
+
+def _streaming_ingest_oracle() -> str:
+    return f"""
+    with u as ({_STREAM_CAND_SQL}),
+    c as (select *, {canonicalize_sql('url')} as canon_url from u),
+    w as (select *, row_number() over (partition by canon_url
+                                       order by parent_ordinal, link_seq) as rn
+          from c),
+    n as (select * from w where rn = 1)
+    select url, canon_url, {class_key_sql('canon_url')} as class_key,
+           cast(3 as int) as directive, cast(1 as int) as precedence,
+           cast(1 as int) as cost, hops_path,
+           cast(row_number() over (order by parent_ordinal, link_seq, canon_url)
+                as bigint) as ordinal
+    from n order by ordinal
+    """
+
+
+@register("streaming_ingest", _streaming_ingest_oracle())
+def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming candidate ingestion as a driver row:
+    three sequential availableNow micro-batch rounds (streaming/
+    ingest.start_candidate_ingest — readStream json → foreachBatch
+    running the full schedule+dedup pipeline against the persistent
+    SnapStore url_seen/frontier state, ordinals continuing from the
+    committed max). The continuous-push analog of ToeThreads feeding
+    the frontier (WorkQueueFrontier.schedule, WorkQueueFrontier.java:360-392;
+    UriUniqFilter add() batches, BdbUriUniqFilter.java:234-263). Because
+    the feed files carry disjoint increasing parent_ordinal ranges, the
+    final frontier equals the one-shot batch result, which DuckDB
+    recomputes as a single windowed query — a green row proves the
+    streaming path's cross-batch dedup + ordinal continuation are
+    exactly the batch law."""
+    import tempfile
+
+    from heritrix_spark.store.snapstore import SnapStore
+    from heritrix_spark.streaming.ingest import start_candidate_ingest
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    rows = spark.sql(_STREAM_CAND_SQL).collect()
+    n_docs = max(r["doc_id"] for r in rows) + 1
+    with tempfile.TemporaryDirectory(prefix="hxingest_") as tmp:
+        import time as _time
+
+        feed = f"{tmp}/feed"
+        base_t = _time.time() - 3600
+        for k in range(3):
+            # arrival round k: ONE new feed file lands, then a fresh
+            # availableNow query drains it against the same checkpoint
+            # + store (restart-with-state each round)
+            _write_stream_feed_file(rows, feed, k, 3, n_docs, base_t)
+            q = start_candidate_ingest(
+                spark, feed, f"{tmp}/store", f"{tmp}/ckpt"
+            )
+            q.awaitTermination(600)
+        store = SnapStore(f"{tmp}/store", spark)
+        out = (
+            store.read("frontier")
+            .select(
+                "url",
+                "canon_url",
+                "class_key",
+                F.col("directive").cast("int").alias("directive"),
+                F.col("precedence").cast("int").alias("precedence"),
+                F.col("cost").cast("int").alias("cost"),
+                "hops_path",
+                F.col("ordinal").cast("long").alias("ordinal"),
+            )
+            .orderBy("ordinal")
+        )
+        # detach from the tempdir before it vanishes
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+# -------------------------------------------------- 52. stateful streaming seen filter
+
+
+def _stateful_seen_oracle() -> str:
+    return f"""
+    with u as ({_STREAM_CAND_SQL}),
+    c as (select *, {canonicalize_sql('url')} as canon_url from u),
+    w as (select *, row_number() over (partition by canon_url
+                                       order by parent_ordinal, link_seq) as rn
+          from c)
+    select url, canon_url,
+           cast(parent_ordinal as bigint) as parent_ordinal,
+           cast(link_seq as bigint) as link_seq
+    from w where rn = 1 order by canon_url
+    """
+
+
+@register("stateful_seen_dedup", _stateful_seen_oracle())
+def q_stateful_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The push-model UriUniqFilter (streaming/stateful.dedup_stream —
+    applyInPandasWithState holding per-shard 64-bit fingerprint sets,
+    the MemFPMergeUriUniqFilter analog, FPMergeUriUniqFilter.java:43-46)
+    as a driver row: one availableNow query, maxFilesPerTrigger=1 so
+    each feed file is a genuine micro-batch, memory-sink collecting the
+    novel rows of every batch. Disjoint increasing parent_ordinal
+    ranges per file make the union of per-batch novel outputs equal
+    global first-discovery-wins along (parent_ordinal, link_seq), which
+    is the DuckDB twin's single window — the same add()-batch semantics
+    the batch path (operators/seen.py) proves via anti-join."""
+    import tempfile
+
+    from heritrix_spark.streaming.stateful import dedup_stream
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    rows = spark.sql(_STREAM_CAND_SQL).collect()
+    n_docs = max(r["doc_id"] for r in rows) + 1
+    with tempfile.TemporaryDirectory(prefix="hxstate_") as tmp:
+        import time as _time
+
+        feed = f"{tmp}/feed"
+        base_t = _time.time() - 3600
+        for k in range(4):
+            _write_stream_feed_file(rows, feed, k, 4, n_docs, base_t)
+        stream = (
+            spark.readStream.schema(
+                "url string, parent_ordinal long, link_seq long"
+            )
+            .option("maxFilesPerTrigger", 1)  # one file == one micro-batch
+            .json(feed)
+        )
+        prepared = stream.select(
+            "url",
+            canonicalize_col("url").alias("canon_url"),
+            "parent_ordinal",
+            "link_seq",
+        )
+        novel = dedup_stream(prepared, key="canon_url", n_shards=16)
+        q = (
+            novel.writeStream.format("memory")
+            .queryName("stateful_seen_out")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = (
+            spark.table("stateful_seen_out")
+            .select(
+                "url",
+                "canon_url",
+                F.col("parent_ordinal").cast("long").alias("parent_ordinal"),
+                F.col("link_seq").cast("long").alias("link_seq"),
+            )
+            .orderBy("canon_url")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out

@@ -166,3 +166,77 @@ def test_stateful_dedup_matches_batch_path(spark, tmp_path):
         }
         seen = seen.unionByName(novel.select("canon_url")).distinct()
     assert got == want
+
+
+def test_stateful_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The 10^10-scale configuration: per-shard FP-set state on the
+    RocksDB state store (shard sets page to disk instead of executor
+    heap — the config streaming/stateful.py prescribes for production).
+    Same feed as the across-microbatches test; semantics must be
+    identical, and the checkpoint must actually contain RocksDB state
+    (sst/zip artifacts), proving the provider was in effect."""
+    src, ckpt = str(tmp_path / "feed"), str(tmp_path / "ckpt")
+    t = time.time()
+    _write_feed_file(
+        src,
+        "b1.json",
+        [
+            {"canon_url": "http://a.example/x", "parent_ordinal": 2, "link_seq": 5},
+            {"canon_url": "http://a.example/x", "parent_ordinal": 1, "link_seq": 3},
+            {"canon_url": "http://b.example/y", "parent_ordinal": 1, "link_seq": 4},
+        ],
+        t - 20,
+    )
+    _write_feed_file(
+        src,
+        "b2.json",
+        [
+            {"canon_url": "http://a.example/x", "parent_ordinal": 9, "link_seq": 1},
+            {"canon_url": "http://c.example/z", "parent_ordinal": 9, "link_seq": 2},
+        ],
+        t - 10,
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        novel = dedup_stream(stream, key="canon_url", n_shards=8)
+        q = (
+            novel.writeStream.format("memory")
+            .queryName("novel_rocks")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    rows = {r["canon_url"]: r for r in spark.sql("select * from novel_rocks").collect()}
+    assert sorted(rows) == [
+        "http://a.example/x",
+        "http://b.example/y",
+        "http://c.example/z",
+    ]
+    assert rows["http://a.example/x"]["parent_ordinal"] == 1
+    assert rows["http://c.example/z"]["parent_ordinal"] == 9
+
+    # RocksDB leaves zip/sst artifacts under the state dir; the default
+    # HDFSBackedStateStore writes .delta/.snapshot files instead
+    arts = []
+    for root, _dirs, files in os.walk(os.path.join(ckpt, "state")):
+        arts.extend(f for f in files if f.endswith((".zip", ".sst")))
+    assert arts, "no RocksDB state artifacts found — provider not in effect"

@@ -23,7 +23,15 @@ Scale shape (10^10 URLs):
   stateful operator" case applyInPandasWithState exists for.
 - in production the state store should be RocksDB
   (``spark.sql.streaming.stateStore.providerClass``) so per-shard FP
-  sets page to disk instead of executor heap.
+  sets page to disk instead of executor heap (pinned working by
+  tests/test_stateful_stream.py::test_stateful_dedup_on_rocksdb_state_store).
+- SIZE ``n_shards`` TO THE CORPUS, not the cluster: state is one FP
+  array per shard and a touched shard rewrites its whole array at
+  commit, so per-shard cardinality is the write-amplification unit.
+  Pick ``n_shards ≈ |expected seen| / 10^6`` (10^10 URLs → ~10^4
+  shards; shard count is free — it's just a hash-shuffle key — while
+  oversized shards turn every micro-batch commit into a multi-GB blob
+  rewrite). The fixture default of 64 is fixture-sized.
 
 Semantics per micro-batch == one ``add()`` batch of the UriUniqFilter:
 batch-internal duplicates collapse first-wins along ``order_cols``

@@ -2790,3 +2790,322 @@ def q_stateful_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
+
+
+# -------------------------------------------------- adaptive revisit (AR frontier)
+
+# Deterministic per-doc fetch-history derivation: 1-5 visits per doc, a
+# status mix (isSuccess = status > 0, CrawlURI.java:999-1009), digests
+# that advance through versions at a per-doc cadence, and periodic null
+# digests to exercise ChangeEvaluator's null branches
+# (ChangeEvaluator.java:95-139).
+_REVISIT_V_SPARK = """
+  select doc_id,
+         concat('http://h', cast(doc_id % 23 as string), '.example/',
+                cast(doc_id as string)) as url,
+         cast(k as int) as seq,
+         cast(1600000000000 + doc_id*131 + k*7200000 as bigint) as ts_ms,
+         cast(case when (doc_id + 3*k) % 7 = 3 then -2 else 200 end as int)
+           as fetch_status,
+         case when (doc_id + k) % 11 = 5 then null
+              else md5(concat(cast(doc_id as string), '/',
+                       cast(cast(floor(k/(1+doc_id%3)) as int) as string))) end
+           as digest
+  from documents lateral view explode(sequence(0, cast(doc_id % 5 as int))) t as k
+""".strip()
+
+_REVISIT_V_DUCK = """
+  select doc_id,
+         concat('http://h', cast(doc_id % 23 as varchar), '.example/',
+                cast(doc_id as varchar)) as url,
+         cast(k as int) as seq,
+         cast(1600000000000 + doc_id*131 + k*7200000 as bigint) as ts_ms,
+         cast(case when (doc_id + 3*k) % 7 = 3 then -2 else 200 end as int)
+           as fetch_status,
+         case when (doc_id + k) % 11 = 5 then null
+              else md5(concat(cast(doc_id as varchar), '/',
+                       cast(cast(floor(k/(1+doc_id%3)) as int) as varchar))) end
+           as digest
+  from documents, unnest(range(1 + doc_id % 5)) as t(k)
+""".strip()
+
+
+def _revisit_rec_sql() -> str:
+    """The WaitEvaluator/ChangeEvaluator fold as a DuckDB recursive CTE
+    (one recursion step per visit; lateral alias references carry the
+    intermediate predicates).  Yields table ``fin``: final state per doc."""
+    return f"""
+    with recursive v as ({_REVISIT_V_DUCK}),
+    n as (select doc_id, max(seq) as mk from v group by doc_id),
+    rec as (
+      select doc_id, -1 as seq, cast(null as varchar) as last_digest,
+             cast(null as bigint) as wait_ms, 0 as visits, 0 as versions,
+             cast(null as bigint) as next_ms
+      from n
+      union all
+      select doc_id, seq, new_digest, new_wait, new_visits, new_versions,
+             new_next
+      from (
+        select r.doc_id as doc_id, vv.seq as seq,
+          (vv.fetch_status > 0) as succ,
+          (vv.digest is null and r.last_digest is null) as bothnull,
+          (vv.digest is not null and r.last_digest is not null
+             and vv.digest = r.last_digest) as unch,
+          (succ and not bothnull) as known,
+          (known and not unch) as chg,
+          case when chg then vv.digest else r.last_digest end as new_digest,
+          case when not succ then r.wait_ms
+               when not known then cast(259200000 as bigint)
+               when r.wait_ms is null then cast(86400000 as bigint)
+               when chg then cast(floor(r.wait_ms / 1.5) as bigint)
+               else cast(floor(r.wait_ms * 1.5) as bigint) end as raw_w,
+          case when succ
+               then least(greatest(raw_w, 3600000), 2419200000)
+               else r.wait_ms end as new_wait,
+          cast(r.visits + case when known then 1 else 0 end as int)
+            as new_visits,
+          cast(r.versions + case when chg then 1 else 0 end as int)
+            as new_versions,
+          case when succ then vv.ts_ms + new_wait else r.next_ms end as new_next
+        from rec r join v vv on vv.doc_id = r.doc_id and vv.seq = r.seq + 1
+      )
+    ),
+    fin as (
+      select r.doc_id as doc_id, r.visits, r.versions, r.last_digest,
+             r.wait_ms, r.next_ms
+      from rec r join n on r.doc_id = n.doc_id and r.seq = n.mk
+    )
+    """
+
+
+@register(
+    "adaptive_revisit",
+    _revisit_rec_sql()
+    + """
+    select cast(doc_id as bigint) as doc_id, visits, versions, last_digest,
+           wait_ms, next_ms
+    from fin order by doc_id
+    """,
+)
+def q_adaptive_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaptiveRevisitFrontier per-URI state: fold each URI's fetch
+    history through ChangeEvaluator (digest comparison, visit/version
+    counters — ChangeEvaluator.java:69-163) and WaitEvaluator (adaptive
+    wait interval, WaitEvaluator.java:169-292), then schedule
+    time-of-next-processing (AdaptiveRevisitFrontier.java:736-737).
+    One JVM-side F.aggregate per URI — single shuffle, no Python."""
+    from heritrix_spark.operators.revisit import adaptive_revisit
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    v = spark.sql(_REVISIT_V_SPARK)
+    return (
+        adaptive_revisit(v, key_cols=("doc_id",))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "visits",
+            "versions",
+            "last_digest",
+            "wait_ms",
+            "next_ms",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "revisit_peek",
+    _revisit_rec_sql()
+    + """
+    , st as (
+      select concat('http://h', cast(doc_id % 23 as varchar), '.example/',
+                    cast(doc_id as varchar)) as url,
+             concat('h', cast(doc_id % 23 as varchar), '.example') as class_key,
+             coalesce(next_ms, 9223372036854775807) as ready
+      from fin
+    )
+    select class_key, url as peek_url, ready as next_ready_ms
+    from (select *, row_number() over (partition by class_key
+                                       order by ready, url) as rk from st)
+    where rk = 1 order by class_key
+    """,
+)
+def q_revisit_peek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaptiveRevisitHostQueue peek: per host the ready URI is the one
+    with the smallest time-of-next-processing; never-scheduled URIs sort
+    as Long.MAX_VALUE (AdaptiveRevisitHostQueueTest.java:50-140)."""
+    from heritrix_spark.operators.revisit import adaptive_revisit, revisit_peek
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    v = spark.sql(_REVISIT_V_SPARK)
+    state = adaptive_revisit(v, key_cols=("doc_id", "url")).withColumn(
+        "class_key",
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string"), F.lit(".example")),
+    )
+    return revisit_peek(state).orderBy("class_key")
+
+
+# -------------------------------------------------- DomainSensitiveFrontier
+
+_DSF_SCOPE_DUCK = """
+  case when regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> ''
+       then regexp_extract(host, '([^.]+\\.[^.]+)$', 1) else host end
+""".strip()
+
+
+@register(
+    "domain_max_docs",
+    f"""
+    with u as ({_DUCK_URLS}),
+    h as (select doc_id, fetch_status, ordinal,
+                 lower(regexp_extract(url, '^\\w+://([^/]+)', 1)) as host
+          from u),
+    s as (select *, {_DSF_SCOPE_DUCK} as dsf_scope from h),
+    c as (select *,
+            coalesce(sum(case when fetch_status > 0 then 1 else 0 end)
+                       over (partition by dsf_scope order by ordinal
+                             rows between unbounded preceding
+                                      and 1 preceding), 0) as prior
+          from s)
+    select cast(doc_id as bigint) as doc_id, dsf_scope,
+           (prior >= 5) as dsf_blocked
+    from c order by doc_id
+    """,
+)
+def q_domain_max_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DomainSensitiveFrontier max-docs enforcement: after a domain
+    (host's last two dot-labels) accumulates max_docs=5 successful
+    downloads, later URIs in that domain are discarded
+    (DomainSensitiveFrontier.java:159-226 checkDownloadLimits; domain
+    scope extraction :173-182)."""
+    from heritrix_spark.operators.quota import domain_max_docs
+
+    u = _docs_urls(spark, sf_dir).withColumn(
+        "host", F.lower(F.regexp_extract("url", r"^\w+://([^/]+)", 1))
+    )
+    return (
+        domain_max_docs(u, max_docs=5, mode="domain")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "dsf_scope",
+            "dsf_blocked",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------- watermarked windowed metrics
+
+# Event derivation: 3 arrival files (k = doc_id % 3), each shifted
+# +900 s, except stragglers (doc_id % 13 = 7) stuck in the file-0 era —
+# guaranteed late arrivals.  All event times even, delay 121 s odd, so
+# no watermark ever ties a window boundary.
+_WMM_BASE = 1_600_000_200  # multiple of 600: windows align at base + i*600
+_WMM_DELAY = 121
+_WMM_EVENTS = f"""
+  select doc_id,
+         cast(doc_id % 3 as int) as k,
+         cast({_WMM_BASE}
+              + case when doc_id % 13 = 7 then 0
+                     else (doc_id % 3) * 900 end
+              + 2 * ((doc_id * 19) % 400) as bigint) as ts,
+         'h' || cast(doc_id % 6 as string) as host,
+         cast(doc_id % 1000 as bigint) as bytes
+  from documents
+""".strip()
+
+
+def _wmm_oracle() -> str:
+    return f"""
+    with e as ({_WMM_EVENTS}),
+    m as (select k, max(ts) as mx from e group by k),
+    w as (select k, max(mx) over (order by k rows between unbounded preceding
+                                  and current row) - {_WMM_DELAY} as wm
+          from m),
+    inc as (
+      select e.*, cast(floor(e.ts / 600) * 600 as bigint) as window_start,
+             cast(floor(e.ts / 600) * 600 + 600 as bigint) as window_end
+      from e left join w pw on pw.k = e.k - 1
+      where e.k = 0 or window_end > pw.wm
+    ),
+    fin as (select max(wm) as fwm from w)
+    select window_start, window_end, host,
+           cast(count(*) as bigint) as n_fetches,
+           cast(sum(bytes) as bigint) as total_bytes
+    from inc, fin
+    where window_end <= fwm
+    group by window_start, window_end, host
+    order by window_start, host
+    """
+
+
+@register("streaming_windowed_metrics", _wmm_oracle())
+def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed fetch metrics as a true
+    Structured Streaming driver row: three sequential availableNow
+    rounds (one new feed file per round, one checkpoint — watermark
+    state carried across restarts), tumbling 600 s windows with a 121 s
+    lateness bound in append mode (streaming/windowed.py; the
+    CrawlStatSnapshot rates report, CrawlStatSnapshot.java:39-107,
+    re-expressed on event time).  The DuckDB twin replays the
+    documented watermark law row-for-row: wm_k = max(event time through
+    file k) − delay; a file-k row is admitted iff its window end
+    exceeds wm_(k−1); a window is emitted iff the final watermark
+    passed its end.  A green row pins drop-too-late,
+    merge-late-but-open, and never-emit-open-windows simultaneously."""
+    import json as _json
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from heritrix_spark.streaming.windowed import windowed_fetch_metrics
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    rows = spark.sql(_WMM_EVENTS).collect()
+    with tempfile.TemporaryDirectory(prefix="hxwmm_") as tmp:
+        feed = f"{tmp}/feed"
+        out_dir = f"{tmp}/out"
+        _os.makedirs(feed)
+        t0 = _time.time() - 3600
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        for k in range(3):
+            fn = f"{feed}/f{k:02d}.json"
+            with open(fn, "w") as f:
+                for r in rows:
+                    if r["k"] == k:
+                        f.write(
+                            _json.dumps(
+                                {"ts": r["ts"], "host": r["host"],
+                                 "bytes": r["bytes"]}
+                            )
+                            + "\n"
+                        )
+            _os.utime(fn, (t0 + 60 * k, t0 + 60 * k))
+            stream = (
+                spark.readStream.schema("ts long, host string, bytes long")
+                .json(feed)
+                .withColumn("ts", F.timestamp_seconds("ts"))
+            )
+            agg = windowed_fetch_metrics(stream, window_s=600, delay_s=_WMM_DELAY)
+            q = (
+                agg.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+        out = (
+            spark.read.parquet(out_dir)
+            .orderBy("window_start", "host")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -99,4 +99,63 @@ def preloaded_uri_precedence(
             F.coalesce(F.col("__pp"), F.col(precedence_col)).cast("int"),
         )
         .drop("__pp")
+    )
+
+
+def dsf_scope_col(host: Column, mode: str = "domain") -> Column:
+    """DomainSensitiveFrontier counting scope (heritrix/src/java/org/
+    archive/crawler/frontier/DomainSensitiveFrontier.java:173-182):
+    ``host`` mode counts per full hostname; ``domain`` mode counts per
+    the host's last two dot-labels (lastIndexOf('.') twice then
+    substring — a single-label or two-label host maps to itself)."""
+    if mode == "host":
+        return host
+    if mode != "domain":
+        raise ValueError(f"unknown counter mode {mode!r}")
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(two != "", two).otherwise(host)
+
+
+def domain_max_docs(
+    fetch_log: DataFrame,
+    max_docs: int,
+    mode: str = "domain",
+    host_col: str = "host",
+    order_col: str = "ordinal",
+    status_col: str = "fetch_status",
+) -> DataFrame:
+    """DomainSensitiveFrontier max-docs law (DomainSensitiveFrontier.java
+    :159-226 checkDownloadLimits): once a scope (host or domain) has
+    accumulated ``max_docs`` successful downloads, every later URI in
+    that scope is discarded (queue deleted + exclude filter added) — the
+    crawl keeps exactly the first ``max_docs`` successes per scope plus
+    whatever non-success attempts preceded the cutoff.  dns: URIs are
+    exempt (:165-167).
+
+    Batch expression: a running count of *prior* successes per scope in
+    fetch order; a row is blocked when that count has already reached
+    ``max_docs``.  One window (== one hash shuffle on the scope key); at
+    10^10 rows the scope key is host-grained, same skew profile as every
+    other per-host window in the engine (hot hosts are bounded by
+    max_docs itself — the window can early-stop on compacted state).
+    """
+    from pyspark.sql import Window
+
+    scope = dsf_scope_col(F.col(host_col), mode)
+    is_dns = F.col(host_col).startswith("dns:")
+    w = (
+        Window.partitionBy(scope)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.sum(
+        F.when(F.col(status_col) > 0, F.lit(1)).otherwise(F.lit(0))
+    ).over(w)
+    blocked = (
+        (F.lit(max_docs) > 0)
+        & ~is_dns
+        & (F.coalesce(prior, F.lit(0)) >= F.lit(max_docs))
+    )
+    return fetch_log.withColumn("dsf_scope", scope).withColumn(
+        "dsf_blocked", blocked
     )

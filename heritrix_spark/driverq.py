@@ -719,6 +719,57 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+# ------------------------------------------ 15b. near-dup clusters + survivors
+
+@register(
+    "neardup_components",
+    f"""
+    with recursive pairs as ({_DUCK_MINHASH_PAIRS}),
+    edges as (select a_id as s, b_id as d from pairs
+              union all
+              select b_id, a_id from pairs),
+    walk as (
+      select s as node, s as comp from edges
+      union
+      select e.d, w.comp from walk w join edges e on e.s = w.node
+    ),
+    cc as (select node, min(comp) as component from walk group by node)
+    select cast(d.doc_id as bigint) as doc_id,
+           cast(coalesce(cc.component, d.doc_id) as bigint) as component,
+           coalesce(cc.component, d.doc_id) = d.doc_id as is_kept
+    from documents d left join cc on cc.node = d.doc_id
+    order by doc_id
+    """,
+)
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters from the MinHash-LSH pair table: transitive
+    closure via alternating large-star/small-star contraction
+    (pipeline/components.py — O(log^2 n) iterations, one hash shuffle
+    each), then one canonical survivor (min doc_id) per cluster;
+    documents in no pair are singleton survivors.  The DuckDB twin is a
+    recursive min-label walk over the symmetrized edges — exact at
+    fixture scale, while the Spark side runs the contraction that holds
+    at 10^10 pairs."""
+    from heritrix_spark.pipeline.components import (
+        connected_components,
+        keep_canonical,
+    )
+    from heritrix_spark.pipeline.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_dedup(docs, n_hashes=8, bands=4, shingle_k=3)
+    cc = connected_components(pairs)
+    return (
+        keep_canonical(docs.select("doc_id"), cc)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("component").cast("long").alias("component"),
+            "is_kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # -------------------------------------------------- 16. simhash clustering
 
 def _duck_simhash(bits: int = 16) -> str:

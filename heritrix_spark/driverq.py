@@ -944,6 +944,207 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ------------------------------------ 19b. deterministic sampling / splitting
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _duck_split_case(key_sql: str, weights: dict[str, float], salt: str) -> str:
+    """DuckDB twin of sampling.hash_split_col — same sorted-boundary
+    construction so the CASE thresholds are bit-identical."""
+    from heritrix_spark.pipeline.sampling import _SPACE, duck_sample_hash
+
+    h = duck_sample_hash(key_sql, salt)
+    total = sum(weights.values())
+    items = sorted(weights.items())
+    acc = 0.0
+    whens = []
+    for name, w in items[:-1]:
+        acc += w / total
+        whens.append(f"when {h} < {int(acc * _SPACE)} then '{name}'")
+    return "case " + " ".join(whens) + f" else '{items[-1][0]}' end"
+
+
+@register(
+    "corpus_split",
+    f"""
+    select cast(doc_id as bigint) as doc_id,
+           {_duck_split_case("doc_id", _SPLIT_WEIGHTS, "split")} as split
+    from documents order by doc_id
+    """,
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: a portable md5-60 hash
+    of the salted doc key against cumulative weight boundaries — a
+    stateless projection (zero shuffle), stable across reruns, engines,
+    and partitionings (pipeline/sampling.py hash_split_col)."""
+    from heritrix_spark.pipeline.sampling import hash_split_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        hash_split_col(F.col("doc_id"), _SPLIT_WEIGHTS, "split").alias("split"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_sample_fixed",
+    """
+    select cast(doc_id as bigint) as doc_id, lang, source
+    from (
+      select *,
+        ('0x' || substr(md5('fixedn' || cast(doc_id as varchar)), 1, 15))::BIGINT
+          as sh
+      from documents order by sh limit 50
+    ) order by doc_id
+    """,
+)
+def q_corpus_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N deterministic uniform sample (eval-set carving): the 50
+    smallest salted md5-60 hashes.  Executes as per-partition TakeOrdered
+    + a 50-row driver merge — no global sort (pipeline/sampling.py
+    sample_fixed_n)."""
+    from heritrix_spark.pipeline.sampling import sample_fixed_n
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        sample_fixed_n(docs, F.col("doc_id"), 50, "fixedn")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "source_cap_sample",
+    """
+    select cast(doc_id as bigint) as doc_id, source
+    from (
+      select doc_id, source,
+        row_number() over (
+          partition by source
+          order by ('0x' || substr(md5('cap' || cast(doc_id as varchar)),
+                                   1, 15))::BIGINT,
+                   cast(doc_id as varchar)) as rk
+      from documents
+    ) where rk <= 8 order by doc_id
+    """,
+)
+def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling: at most 8 documents per source,
+    selected uniformly within the source by hash order (not crawl
+    order) — one window shuffle on the source key (pipeline/sampling.py
+    cap_per_group)."""
+    from heritrix_spark.pipeline.sampling import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        cap_per_group(docs, F.col("source"), F.col("doc_id"), 8, "cap")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------ 19c. vocabulary heavy hitters
+
+@register(
+    "token_topk",
+    r"""
+    with toks as (
+      select doc_id, unnest(list_filter(
+        string_split_regex(lower(text), '\s+'), w -> w <> '')) as token
+      from documents
+    )
+    select token, cast(count(*) as bigint) as term_freq,
+           cast(count(distinct doc_id) as bigint) as doc_freq
+    from toks group by token
+    order by term_freq desc, token asc limit 50
+    """,
+)
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k: explode → map-side-combinable hash
+    aggregate → TakeOrdered(k).  Hot tokens reach the reducer as one
+    partial row per map task, not one per occurrence
+    (pipeline/textstats.py token_topk)."""
+    from heritrix_spark.pipeline.textstats import token_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_topk(docs, k=50)
+
+
+# ------------------------------ 19d. end-to-end training-corpus composition
+
+@register(
+    "training_corpus",
+    f"""
+    with recursive pairs as ({_DUCK_MINHASH_PAIRS}),
+    edges as (select a_id as s, b_id as d from pairs
+              union all
+              select b_id, a_id from pairs),
+    walk as (
+      select s as node, s as comp from edges
+      union
+      select e.d, w.comp from walk w join edges e on e.s = w.node
+    ),
+    cc as (select node, min(comp) as component from walk group by node),
+    t as (select doc_id, text,
+        list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') as toks
+        from documents),
+    q as (select doc_id, len(toks) as n_tokens,
+        round(0.4 * least(len(toks)::double / 100.0, 1.0)
+          + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double
+                   / greatest(length(text)::double, 1.0))
+          + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::double
+                   / greatest(length(text)::double, 1.0)), 6) as quality
+        from t)
+    select cast(q.doc_id as bigint) as doc_id,
+           {_duck_split_case("q.doc_id", _SPLIT_WEIGHTS, "split")} as split
+    from q left join cc on cc.node = q.doc_id
+    where coalesce(cc.component, q.doc_id) = q.doc_id
+      and q.quality >= 0.75 and q.n_tokens >= 20
+    order by doc_id
+    """,
+)
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE composed plan:
+    documents → MinHash-LSH near-dup pairs → connected-component
+    clusters → canonical survivors → quality/length filter →
+    deterministic train/val/test split.  Everything upstream of the
+    contraction loop is a single Catalyst plan (scan shared across the
+    signature and stats branches); the contraction adds its O(log^2 n)
+    shuffle rounds; the filter and the split are stateless projections
+    that Catalyst pushes below the survivor join's probe side."""
+    from heritrix_spark.pipeline.components import (
+        connected_components,
+        keep_canonical,
+    )
+    from heritrix_spark.pipeline.dedup import minhash_lsh_dedup
+    from heritrix_spark.pipeline.sampling import hash_split_col
+    from heritrix_spark.pipeline.textstats import (
+        quality_score_from_tokens_col,
+        tokens_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_dedup(docs, n_hashes=8, bands=4, shingle_k=3)
+    cc = connected_components(pairs)
+    base = docs.select(
+        "doc_id", "text", tokens_col(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        quality_score_from_tokens_col(F.col("toks"), F.col("text")).alias(
+            "quality"
+        ),
+    )
+    kept = keep_canonical(base, cc).where(
+        F.col("is_kept") & (F.col("quality") >= 0.75) & (F.col("n_tokens") >= 20)
+    )
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        hash_split_col(F.col("doc_id"), _SPLIT_WEIGHTS, "split").alias("split"),
+    ).orderBy("doc_id")
+
+
 # -------------------------------------------------- 20. windowed event aggregation
 
 @register(

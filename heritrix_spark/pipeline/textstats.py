@@ -96,3 +96,31 @@ def fingerprint_col(text: Column, window: int = 64) -> Column:
     tail = F.substring(text, -window, window)
     packed = F.concat_ws("|", F.length(text).cast("string"), head, tail)
     return F.conv(F.substring(F.md5(packed), 1, 15), 16, 10).cast("long")
+
+
+def token_topk(docs, k: int = 100, text_col: str = "text"):
+    """Corpus vocabulary heavy hitters: the k most frequent whitespace
+    tokens with document frequency, ties broken lexicographically.
+
+    Scale shape: explode → hash aggregate.  The token count is
+    map-side-combinable (partial HashAggregate before the exchange), so
+    a pathological hot token ("the" in half the corpus) arrives at the
+    reducer as one partial row per map task, not one row per occurrence
+    — the skew lives and dies map-side.  The top-k itself is
+    ``orderBy().limit(k)`` = per-partition TakeOrdered + a k-row driver
+    merge, never a global sort.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (signature doc only)
+
+    tok = docs.select(
+        F.col("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("term_freq"),
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), F.asc("token"))
+        .limit(k)
+    )

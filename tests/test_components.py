@@ -101,3 +101,24 @@ def test_on_real_minhash_pairs(spark):
         [(r["a_id"], r["b_id"]) for r in pairs.collect()]
     )
     assert got == want
+
+
+def test_scale_shape_star_and_long_chain(spark):
+    """Adversarial shapes at 10^4 scale: a 20k-leaf hub (the boilerplate
+    near-dup star — max-degree skew) unioned with a 2k-long chain (max
+    diameter — the case naive label propagation needs 2k rounds for).
+    Star contraction must converge in a handful of iterations and get
+    both exactly right, without collecting any data rows."""
+    hub = spark.range(1, 20001).selectExpr("0 as a_id", "id as b_id")
+    chain = spark.range(100000, 102000).selectExpr(
+        "id as a_id", "id + 1 as b_id"
+    )
+    cc = connected_components(hub.union(chain))
+    agg = cc.groupBy("component").count().collect()
+    got = {r["component"]: r["count"] for r in agg}
+    assert got == {0: 20001, 100000: 2001}
+    # every chain node resolved to the chain head, none to the hub
+    bad = cc.filter(
+        (F.col("node") >= 100000) & (F.col("component") != 100000)
+    ).count()
+    assert bad == 0

@@ -191,3 +191,84 @@ def run_schedule_dedup_bench(
         "elapsed_bloom_sec": elapsed_bloom,
         "urls_per_sec_bloom": n / elapsed_bloom,
     }
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline benchmark (documents -> dedup clusters -> corpus)
+# ---------------------------------------------------------------------------
+
+
+def synth_documents(
+    spark: SparkSession,
+    n: int,
+    n_sources: int = 1_000,
+    words: int = 40,
+    dup_group: int = 5,
+) -> DataFrame:
+    """n documents with controlled near-dup structure, generated entirely
+    with codegen column expressions (no Python, no driver data): groups of
+    ``dup_group`` consecutive ids share a base word sequence; variant k>0
+    mutates roughly one word in 13 — close enough for MinHash banding to
+    pair them, far enough that the pairs aren't byte-identical."""
+    base = spark.range(n)
+    group = (F.col("id") / dup_group).cast("long")
+    variant = F.pmod(F.col("id"), dup_group)
+    words_arr = F.transform(
+        F.sequence(F.lit(1), F.lit(words)),
+        lambda i: F.when(
+            (variant > 0) & (F.pmod(i * 7 + variant, 13) == 0),
+            F.concat(
+                F.lit("m"),
+                F.pmod(F.xxhash64(group, i, variant), 50_000).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("w"), F.pmod(F.xxhash64(group, i), 50_000).cast("string")
+            )
+        ),
+    )
+    return base.select(
+        F.col("id").alias("doc_id"),
+        F.array_join(words_arr, " ").alias("text"),
+        F.concat(
+            F.lit("src"), F.pmod(F.xxhash64("id"), n_sources).cast("string")
+        ).alias("source"),
+    )
+
+
+def training_pipeline(docs: DataFrame) -> DataFrame:
+    """The measured training-corpus job (same composition as the
+    ``training_corpus`` driver row): MinHash-LSH near-dup pairs →
+    connected-component clusters → canonical survivors → quality/length
+    filter → deterministic split."""
+    from heritrix_spark.pipeline.components import (
+        connected_components,
+        keep_canonical,
+    )
+    from heritrix_spark.pipeline.dedup import minhash_lsh_dedup
+    from heritrix_spark.pipeline.sampling import hash_split_col
+    from heritrix_spark.pipeline.textstats import (
+        quality_score_from_tokens_col,
+        tokens_col,
+    )
+
+    pairs = minhash_lsh_dedup(docs, n_hashes=8, bands=4, shingle_k=3)
+    cc = connected_components(pairs)
+    base = docs.select(
+        "doc_id", "text", tokens_col(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        quality_score_from_tokens_col(F.col("toks"), F.col("text")).alias(
+            "quality"
+        ),
+    )
+    kept = keep_canonical(base, cc).where(
+        F.col("is_kept") & (F.col("quality") >= 0.3) & (F.col("n_tokens") >= 10)
+    )
+    return kept.select(
+        "doc_id",
+        hash_split_col(
+            F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).alias("split"),
+    )

@@ -3361,3 +3361,144 @@ def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
+
+
+# -------------------------------------------------- fetch history / revisits
+
+# Multi-fetch log with 304s, missing digests, and optional validator
+# headers — the recrawl package's input shape (statuses 200/304/404;
+# digest null on 304s and sporadically elsewhere; version steps every
+# 1+doc_id%3 fetches so identical-digest revisits actually occur).
+_FHIST_V_SPARK = """
+  select doc_id,
+         concat('http://h', cast(doc_id % 23 as string), '.example/',
+                cast(doc_id as string)) as url,
+         cast(k as int) as seq,
+         cast(1600000000000 + doc_id*131 + k*7200000 as bigint) as ts_ms,
+         cast(case when (doc_id + 3*k) % 7 = 3 then 404
+                   when (doc_id + 2*k) % 5 = 2 then 304
+                   else 200 end as int) as fetch_status,
+         case when (doc_id + 2*k) % 5 = 2 or (doc_id + k) % 11 = 5 then null
+              else md5(concat(cast(doc_id as string), '/',
+                       cast(cast(floor(k/(1+doc_id%3)) as int) as string))) end
+           as content_digest,
+         case when (doc_id + k) % 3 = 0
+              then concat('"e', cast(cast(floor(k/(1+doc_id%3)) as int)
+                                     as string), '"')
+              else null end as etag,
+         case when (doc_id + k) % 4 = 1
+              then concat('Mon, 0', cast(k % 9 + 1 as string), ' Jan 2024')
+              else null end as last_modified,
+         cast(case when (doc_id + 2*k) % 5 = 2 then 0
+                   else 1000 + (doc_id*37 + k*101) % 9000 end as bigint)
+           as content_length
+  from documents lateral view explode(sequence(0, cast(doc_id % 5 as int))) t as k
+""".strip()
+
+_FHIST_V_DUCK = """
+  select doc_id,
+         concat('http://h', cast(doc_id % 23 as varchar), '.example/',
+                cast(doc_id as varchar)) as url,
+         cast(k as int) as seq,
+         cast(1600000000000 + doc_id*131 + k*7200000 as bigint) as ts_ms,
+         cast(case when (doc_id + 3*k) % 7 = 3 then 404
+                   when (doc_id + 2*k) % 5 = 2 then 304
+                   else 200 end as int) as fetch_status,
+         case when (doc_id + 2*k) % 5 = 2 or (doc_id + k) % 11 = 5 then null
+              else md5(concat(cast(doc_id as varchar), '/',
+                       cast(cast(floor(k/(1+doc_id%3)) as int) as varchar))) end
+           as content_digest,
+         case when (doc_id + k) % 3 = 0
+              then concat('"e', cast(cast(floor(k/(1+doc_id%3)) as int)
+                                     as varchar), '"')
+              else null end as etag,
+         case when (doc_id + k) % 4 = 1
+              then concat('Mon, 0', cast(k % 9 + 1 as varchar), ' Jan 2024')
+              else null end as last_modified,
+         cast(case when (doc_id + 2*k) % 5 = 2 then 0
+                   else 1000 + (doc_id*37 + k*101) % 9000 end as bigint)
+           as content_length
+  from documents, unnest(range(1 + doc_id % 5)) as t(k)
+""".strip()
+
+_FHIST_IDENT = (
+    "(hlen = 2 and content_digest is not null and prev_digest is not null "
+    "and content_digest = prev_digest)"
+)
+
+
+@register(
+    "fetch_history_revisits",
+    f"""
+    with v as ({_FHIST_V_DUCK}),
+    r as (
+      select *,
+        coalesce(
+          last_value(case when fetch_status <> 304 then content_length end
+                     ignore nulls)
+            over (partition by doc_id order by seq
+                  rows between unbounded preceding and current row),
+          first_value(content_length)
+            over (partition by doc_id order by seq)) as reference_length
+      from v),
+    h as (
+      select *,
+        lag(fetch_status) over w as prev_status,
+        lag(content_digest) over w as prev_digest,
+        count(*) over (partition by doc_id order by seq
+                       rows between 1 preceding and current row) as hlen
+      from r window w as (partition by doc_id order by seq))
+    select cast(doc_id as bigint) as doc_id, seq, fetch_status,
+           reference_length,
+           cast(prev_status as varchar) as prev_status, prev_digest,
+           {_FHIST_IDENT} as identical_digest,
+           case when {_FHIST_IDENT} then 'warcRevisit:digest'
+                when fetch_status = 304 then 'warcRevisit:notModified'
+                else 'response' end as record_type
+    from h order by doc_id, seq
+    """,
+)
+def q_fetch_history_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FetchHistoryProcessor + IdenticalDigestDecideRule + WARC revisit
+    selection (recrawl/FetchHistoryProcessor.java:62-117,
+    fetcher/FetchHTTP.java setSizes :747-766,
+    deciderules/recrawl/IdenticalDigestDecideRule.java:62-80,
+    writer/WARCWriterProcessor.java:350-358): per fetch, the rotated
+    last-2 history array, the 304 reference-length carry-forward, and
+    the revisit-record decision.  The oracle recomputes the history via
+    lag() while Spark reads the previous entry OUT OF the rotated
+    array, cross-checking the array construction itself.  Pure window
+    plan: one hash shuffle on the URI key."""
+    from heritrix_spark.operators.recrawl import (
+        fetch_history,
+        has_identical_digest_col,
+        warc_record_type_col,
+    )
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    v = spark.sql(_FHIST_V_SPARK)
+    h = fetch_history(
+        v,
+        k=2,
+        key_cols=("url",),
+        order_cols=("seq",),
+        etag="etag",
+        last_modified="last_modified",
+        content_length="content_length",
+    )
+    prev = F.get(F.col("history"), 1)
+    ident = has_identical_digest_col(F.col("history"))
+    return h.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "seq",
+        "fetch_status",
+        "reference_length",
+        prev["fetch_status"].cast("string").alias("prev_status"),
+        prev["content_digest"].alias("prev_digest"),
+        ident.alias("identical_digest"),
+        warc_record_type_col(ident, F.col("fetch_status")).alias(
+            "record_type"
+        ),
+    ).orderBy("doc_id", "seq")

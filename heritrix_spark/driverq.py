@@ -3502,3 +3502,105 @@ def q_fetch_history_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "record_type"
         ),
     ).orderBy("doc_id", "seq")
+
+
+# -------------------------------------------------- decontamination / repetition
+
+_DECON_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+)
+
+
+@register(
+    "decontaminate_ngram",
+    f"""
+    with t as (select doc_id, {_DECON_TOKS} as toks from documents),
+    bench as (select distinct array_to_string(toks[4:16], ' ') as ng
+              from t where doc_id % 29 = 0 and len(toks) >= 16),
+    corpus as (select doc_id from t where doc_id % 29 <> 0),
+    cg as (select doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 11),
+                    i -> array_to_string(toks[i:i+12], ' ')))) as ng
+           from t where doc_id % 29 <> 0 and len(toks) >= 13),
+    m as (select doc_id, cast(count(*) as int) as n_overlap
+          from cg join bench using (ng) group by doc_id)
+    select cast(c.doc_id as bigint) as doc_id,
+           coalesce(m.n_overlap, 0) as n_overlap,
+           coalesce(m.n_overlap, 0) > 0 as contaminated
+    from corpus c left join m using (doc_id) order by doc_id
+    """,
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/Pile-style 13-gram benchmark decontamination: the eval set
+    is a 13-token slice of every 29th document; every other document is
+    flagged when it shares any exact 13-gram.  Plan: eval n-grams
+    broadcast (they are MBs next to a TB corpus), corpus n-grams explode
+    and inner-join shuffle-free, one hash agg on doc_id counts hits —
+    the corpus text never crosses the wire."""
+    from heritrix_spark.pipeline.decontam import decontaminate
+    from heritrix_spark.pipeline.textstats import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_col(F.col("text"))
+    bench = (
+        docs.filter(F.col("doc_id") % 29 == 0)
+        .filter(F.size(toks) >= 16)
+        .select(F.array_join(F.slice(toks, 4, 13), " ").alias("text"))
+    )
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    return (
+        decontaminate(corpus, bench, n=13)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_overlap",
+            "contaminated",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "gopher_repetition",
+    f"""
+    with t as (select doc_id, {_DECON_TOKS} as toks from documents),
+    rl as (select doc_id, cast(len(toks) as int) as total_tokens,
+             cast(greatest(len(toks) - 4, 0)
+                  - case when len(toks) >= 5
+                         then len(list_distinct(list_transform(
+                                range(1, len(toks) - 3),
+                                i -> array_to_string(toks[i:i+4], ' '))))
+                         else 0 end as int) as dup5_tokens
+           from t),
+    bg as (select doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                         i -> array_to_string(toks[i:i+1], ' '))) as bg
+           from t where len(toks) >= 2),
+    top2 as (select doc_id, cast(max(c) as int) as top2_count
+             from (select doc_id, bg, count(*) as c from bg group by 1, 2)
+             group by 1)
+    select cast(t.doc_id as bigint) as doc_id, rl.total_tokens,
+           coalesce(top2.top2_count, 0) as top2_count, rl.dup5_tokens
+    from t join rl using (doc_id) left join top2 using (doc_id)
+    order by doc_id
+    """,
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 App. A1) as
+    exact integers: total tokens, occurrences of the most frequent word
+    bigram (explode → count → max: linear and shuffle-bounded, never a
+    per-row O(L²) walk), and duplicate-5-gram occurrences (row-local
+    array_distinct, no shuffle)."""
+    from heritrix_spark.pipeline.decontam import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        repetition_stats(docs)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "total_tokens",
+            "top2_count",
+            "dup5_tokens",
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,123 @@
+"""Benchmark decontamination and repetition-quality signals for
+training-data pipelines over ``documents``.
+
+- :func:`decontaminate` — exact word-n-gram overlap against an
+  evaluation/benchmark set (the GPT-3/Pile-style 13-gram
+  decontamination rule: a training document is contaminated when it
+  shares any exact n-gram with the eval set).  Scale shape: the eval
+  set is tiny next to the corpus (MBs vs TBs), so its distinct n-grams
+  BROADCAST; the corpus side explodes its per-doc distinct n-grams and
+  inner-joins without a shuffle, then one hash aggregation on doc_id
+  counts the matches.  The corpus text itself never shuffles — only
+  (doc_id, matched n-gram) pairs, which are rare by construction.
+- :func:`repetition_stats` — Gopher-style repetition signals (Rae et
+  al. 2021, App. A1) as exact integer counts so downstream thresholds
+  (and cross-engine oracles) never touch float rounding:
+  ``total_tokens``, ``top2_count`` (occurrences of the most frequent
+  word bigram), ``dup5_tokens`` (5-gram occurrences minus distinct
+  5-grams — the "duplicate n-gram" numerator).  The bigram mode is
+  computed by explode → count → max (linear, one shuffle keyed on
+  doc_id — NOT a per-row O(L²) higher-order walk, which would blow up
+  on book-length documents); the 5-gram duplicate count is row-local
+  (``array_distinct``), no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from heritrix_spark.pipeline.textstats import tokens_col
+
+
+def ngrams_col(toks: Column, n: int) -> Column:
+    """Word n-grams (space-joined) of a token array; [] when shorter
+    than n.  The explicit when-guard matters: Spark's ``sequence(1, 0)``
+    DESCENDS instead of returning empty."""
+    count = F.size(toks) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus documents sharing any exact word ``n``-gram with the
+    benchmark set.  Returns (id_col, n_overlap, contaminated) — one row
+    per input document, ``n_overlap`` = distinct shared n-grams."""
+    bench_ngrams = (
+        benchmark.select(
+            F.explode(
+                ngrams_col(tokens_col(F.col(bench_text_col)), n)
+            ).alias("ng")
+        )
+        .distinct()
+    )
+    doc_ngrams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(ngrams_col(tokens_col(F.col(text_col)), n))
+        ).alias("ng"),
+    )
+    hits = (
+        doc_ngrams.join(F.broadcast(bench_ngrams), on="ng", how="inner")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("int").alias("n_overlap"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition counts: (id_col, total_tokens,
+    top2_count, dup5_tokens).  Fractions are the caller's division —
+    integers keep the engine/oracle compare exact."""
+    base = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
+    )
+    row_local = base.select(
+        id_col,
+        F.size("toks").cast("int").alias("total_tokens"),
+        (
+            F.size(ngrams_col(F.col("toks"), 5))
+            - F.size(F.array_distinct(ngrams_col(F.col("toks"), 5)))
+        )
+        .cast("int")
+        .alias("dup5_tokens"),
+    )
+    top2 = (
+        base.select(
+            id_col, F.explode(ngrams_col(F.col("toks"), 2)).alias("bg")
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").cast("int").alias("top2_count"))
+    )
+    return row_local.join(top2, on=id_col, how="left").select(
+        id_col,
+        "total_tokens",
+        F.coalesce(F.col("top2_count"), F.lit(0)).alias("top2_count"),
+        "dup5_tokens",
+    )

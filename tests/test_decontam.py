@@ -1,0 +1,102 @@
+"""decontaminate / repetition_stats vs hand-computed plants and a
+pure-Python twin."""
+
+from __future__ import annotations
+
+from heritrix_spark.pipeline.decontam import decontaminate, repetition_stats
+
+
+def _py_ngrams(text: str, n: int) -> list[str]:
+    toks = text.lower().split()
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_decontaminate_planted(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota " \
+                 "kappa lam mu nu xi omicron"
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    docs = spark.createDataFrame(
+        [
+            # shares the first 13-gram of bench (prefix copy)
+            (1, "x " + " ".join(bench_text.split()[:13]) + " y z"),
+            # clean document, same vocabulary shuffled
+            (2, "beta alpha delta gamma zeta epsilon theta eta kappa "
+                "iota mu lam xi nu omicron"),
+            # shorter than 13 tokens — can never be contaminated
+            (3, "alpha beta gamma delta epsilon"),
+            # contains TWO distinct 13-grams of bench (14-token copy)
+            (4, " ".join(bench_text.split()[:14])),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=13).collect()
+    }
+    assert out == {1: (1, True), 2: (0, False), 3: (0, False), 4: (2, True)}
+
+
+def test_decontaminate_matches_py_twin(spark):
+    # pseudo-random soup with planted overlaps
+    texts = []
+    for i in range(40):
+        words = [f"w{(i * 13 + j * 7) % 19}" for j in range(5 + i % 25)]
+        texts.append((i, " ".join(words)))
+    bench_rows = [(t,) for i, t in texts if i % 9 == 0]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "text string")
+    n = 8
+    bench_ngrams = {g for (t,) in bench_rows for g in _py_ngrams(t, n)}
+    want = {
+        i: len(set(_py_ngrams(t, n)) & bench_ngrams) for i, t in texts
+    }
+    got = {
+        r["doc_id"]: r["n_overlap"]
+        for r in decontaminate(docs, bench, n=n).collect()
+    }
+    assert got == want
+
+
+def test_repetition_stats_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            # "a b" occurs 3x; the repeated 5-gram "a b a b a" occurs 2x
+            (1, "a b a b a b a"),
+            (2, "one two three four five six"),  # no repetition
+            (3, "x"),                            # degenerate: 1 token
+            (4, ""),                             # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["total_tokens"], r["top2_count"], r["dup5_tokens"])
+        for r in repetition_stats(docs).collect()
+    }
+    # doc 1: 7 tokens; bigrams = ab ba ab ba ab ba -> top "a b"=3;
+    # 5-grams: ababa babab ababa -> 3 total, 2 distinct -> 1 duplicate
+    assert out[1] == (7, 3, 1)
+    assert out[2] == (6, 1, 0)
+    assert out[3] == (1, 0, 0)
+    assert out[4] == (0, 0, 0)
+
+
+def test_repetition_stats_matches_py_twin(spark):
+    texts = [
+        (i, " ".join(f"t{(i * 11 + j * 5) % 7}" for j in range(i % 17)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["total_tokens"], r["top2_count"], r["dup5_tokens"])
+        for r in repetition_stats(docs).collect()
+    }
+    for i, t in texts:
+        toks = t.lower().split()
+        bgs = _py_ngrams(t, 2)
+        fives = _py_ngrams(t, 5)
+        want = (
+            len(toks),
+            max((bgs.count(b) for b in set(bgs)), default=0),
+            len(fives) - len(set(fives)),
+        )
+        assert got[i] == want, (i, t)

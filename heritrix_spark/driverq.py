@@ -3604,3 +3604,89 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "persist_continuation",
+    f"""
+    with v as ({_FHIST_V_DUCK}),
+    r as (
+      select *,
+        coalesce(
+          last_value(case when fetch_status <> 304 then content_length end
+                     ignore nulls)
+            over (partition by doc_id order by seq
+                  rows between unbounded preceding and current row),
+          first_value(content_length)
+            over (partition by doc_id order by seq)) as reference_length
+      from v),
+    h as (
+      select *,
+        lag(fetch_status) over w as prev_status,
+        lag(content_digest) over w as prev_digest,
+        count(*) over (partition by doc_id order by seq
+                       rows between 1 preceding and current row) as hlen
+      from r window w as (partition by doc_id order by seq))
+    select cast(doc_id as bigint) as doc_id, seq, fetch_status,
+           reference_length,
+           cast(prev_status as varchar) as prev_status, prev_digest,
+           {_FHIST_IDENT} as identical_digest,
+           case when {_FHIST_IDENT} then 'warcRevisit:digest'
+                when fetch_status = 304 then 'warcRevisit:notModified'
+                else 'response' end as record_type
+    from h where seq >= 2 order by doc_id, seq
+    """,
+)
+def q_persist_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PersistStore/PersistLoad round-trip across a crawl boundary
+    (recrawl/PersistProcessor.java persistKeyFor :106-113 = the
+    case-sensitive SURT; PersistLoadProcessor.java:83-92 merge-in;
+    PersistStoreProcessor store-at-end): crawl #1 = each URI's fetches
+    seq<2, its final history arrays stored under the persist key;
+    crawl #2 = the remaining fetches, seeded from the store.  The
+    ORACLE is the unbroken full-log computation filtered to crawl #2 —
+    the persistence round-trip must be bit-equal to never having split
+    the crawl, including the 304 reference-length carry across the
+    boundary."""
+    from heritrix_spark.operators.persist import (
+        continue_fetch_history,
+        persist_key_col,
+        persist_store,
+    )
+    from heritrix_spark.operators.recrawl import (
+        fetch_history,
+        has_identical_digest_col,
+        warc_record_type_col,
+    )
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    v = spark.sql(_FHIST_V_SPARK).withColumn(
+        "persist_key", persist_key_col(F.col("url"))
+    )
+    h1 = fetch_history(
+        v.filter(F.col("seq") < 2),
+        k=2,
+        key_cols=("persist_key",),
+        order_cols=("seq",),
+        etag="etag",
+        last_modified="last_modified",
+        content_length="content_length",
+    )
+    store = persist_store(h1)
+    h2 = continue_fetch_history(v.filter(F.col("seq") >= 2), store, k=2)
+    prev = F.get(F.col("history"), 1)
+    ident = has_identical_digest_col(F.col("history"))
+    return h2.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "seq",
+        "fetch_status",
+        "reference_length",
+        prev["fetch_status"].cast("string").alias("prev_status"),
+        prev["content_digest"].alias("prev_digest"),
+        ident.alias("identical_digest"),
+        warc_record_type_col(ident, F.col("fetch_status")).alias(
+            "record_type"
+        ),
+    ).orderBy("doc_id", "seq")

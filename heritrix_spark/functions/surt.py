@@ -113,8 +113,10 @@ def _reverse_labels_arrow(host):
     return pc.binary_join(rebuilt, ",")
 
 
-def _surt_arrow(arr):
-    """SURT transform on a pyarrow StringArray (RE2 extract, C++ only)."""
+def _surt_arrow(arr, lower: bool = True):
+    """SURT transform on a pyarrow StringArray (RE2 extract, C++ only).
+    ``lower=False`` is the case-preserving variant (SURT.fromURI's
+    ``preserveCase`` arg, SURT.java:118-160) used by persist keys."""
     import pyarrow.compute as pc
 
     ex = pc.extract_regex(arr, _SPLIT_NAMED)
@@ -126,13 +128,17 @@ def _surt_arrow(arr):
         g["ip"],
         pc.binary_join_element_wise(_reverse_labels_arrow(g["host"]), "", ","),
     )
-    surt = pc.utf8_lower(
-        pc.binary_join_element_wise(
-            g["scheme"], "(", revhost, g["port"], g["at"], g["userinfo"], ")",
-            g["path"], "",
-        )
+    surt = pc.binary_join_element_wise(
+        g["scheme"], "(", revhost, g["port"], g["at"], g["userinfo"], ")",
+        g["path"], "",
     )
+    if lower:
+        surt = pc.utf8_lower(surt)
     return pc.if_else(matched, surt, arr)
+
+
+def _surt_case_arrow(arr):
+    return _surt_arrow(arr, lower=False)
 
 
 def _class_key_arrow(arr):
@@ -175,6 +181,33 @@ def surt_col(url: Column | str) -> Column:
         _SURT_UDF = _make_str_udf(_surt_arrow)
     col = F.col(url) if isinstance(url, str) else url
     return _SURT_UDF(col)
+
+
+_SURT_CASE_UDF = None
+
+
+def surt_case_col(url: Column | str) -> Column:
+    """Case-preserving SURT (persist key) — Arrow/RE2 UDF."""
+    global _SURT_CASE_UDF
+    if _SURT_CASE_UDF is None:
+        _SURT_CASE_UDF = _make_str_udf(_surt_case_arrow)
+    col = F.col(url) if isinstance(url, str) else url
+    return _SURT_CASE_UDF(col)
+
+
+def surt_case_expr_col(url: Column | str) -> Column:
+    """Case-preserving SURT as a Catalyst expression (fallback backend;
+    same pack trick as :func:`surt_expr_col`, no final lowercase)."""
+    col = F.col(url) if isinstance(url, str) else url
+    repl = _SEP.join(f"${i}" for i in range(1, 8))
+    parts = F.split(F.regexp_replace(col, SURT_SPLITTER, repl), _SEP, -1)
+    scheme, userinfo, at = parts[0], parts[1], parts[2]
+    ip, host, port, path = parts[3], parts[4], parts[5], parts[6]
+    revhost = F.when(ip != F.lit(""), ip).otherwise(
+        F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(","))
+    )
+    surt = F.concat(scheme, F.lit("("), revhost, port, at, userinfo, F.lit(")"), path)
+    return F.when(F.size(parts) == 7, surt).otherwise(col)
 
 
 def class_key_col(url: Column | str) -> Column:
@@ -271,6 +304,18 @@ def surt_py(url: str) -> str:
     scheme, userinfo, at, ip, host, port, path = (m.group(i) or "" for i in range(1, 8))
     hostpart = ip if ip else ",".join(reversed(host.split("."))) + ","
     return f"{scheme}({hostpart}{port}{at}{userinfo}){path}".lower()
+
+
+def surt_case_py(url: str) -> str:
+    """Case-preserving twin of :func:`surt_py` (SURT.fromURI(s, true),
+    SURT.java:121-160) — the persist-key form
+    (PersistProcessor.persistKeyFor, recrawl/PersistProcessor.java:106-113)."""
+    m = _SURT_RE.match(url)
+    if not m:
+        return url
+    scheme, userinfo, at, ip, host, port, path = (m.group(i) or "" for i in range(1, 8))
+    hostpart = ip if ip else ",".join(reversed(host.split("."))) + ","
+    return f"{scheme}({hostpart}{port}{at}{userinfo}){path}"
 
 
 def class_key_py(url: str) -> str:

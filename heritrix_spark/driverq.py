@@ -3690,3 +3690,45 @@ def q_persist_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "record_type"
         ),
     ).orderBy("doc_id", "seq")
+
+
+@register(
+    "pack_sequences",
+    f"""
+    with t0 as (select doc_id, {_DECON_TOKS} as toks from documents),
+    t as (select doc_id, cast(len(toks) as bigint) as n from t0
+          where len(toks) > 0),
+    s as (select doc_id, n,
+            cast(coalesce(sum(n) over (order by doc_id
+                     rows between unbounded preceding and 1 preceding),
+                     0) as bigint) as start_offset
+          from t),
+    p as (select doc_id, n, start_offset,
+                 unnest(range(start_offset // 512,
+                              (start_offset + n - 1) // 512 + 1)) as ex
+          from s)
+    select cast(doc_id as bigint) as doc_id,
+           cast(n as int) as n_tokens,
+           start_offset,
+           cast(ex as bigint) as example_id,
+           cast(greatest(start_offset, ex*512) - ex*512 as int)
+             as example_offset,
+           cast(greatest(start_offset, ex*512) - start_offset as int)
+             as doc_offset,
+           cast(least(start_offset + n, (ex+1)*512)
+                - greatest(start_offset, ex*512) as int) as piece_len
+    from p order by doc_id, example_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-pretraining sequence packing: the corpus token stream laid
+    into fixed 512-token examples in doc_id order, documents split
+    across example boundaries.  The global offset is a two-phase
+    prefix sum (monotone buckets + lazy per-bucket offsets — never a
+    single-partition window over corpus rows); the oracle recomputes it
+    with DuckDB's global window, pinning the distributed decomposition
+    against the sequential definition."""
+    from heritrix_spark.pipeline.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, block=512).orderBy("doc_id", "example_id")

@@ -3732,3 +3732,36 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return pack_sequences(docs, block=512).orderBy("doc_id", "example_id")
+
+
+_DELETE_Q_RE = "example,host1[0-9],.*"
+_DELETE_U_RE = ".*(CFID|jsessionid).*"
+
+
+@register(
+    "delete_uris",
+    f"""
+    with u as ({_DUCK_URLS}),
+    f as (select url, {class_key_sql('url')} as class_key from u),
+    m as (select class_key, url,
+                 (regexp_full_match(class_key, '{_DELETE_Q_RE}')
+                  and regexp_full_match(url, '{_DELETE_U_RE}')) as doomed
+          from f)
+    select class_key,
+           cast(sum(case when doomed then 1 else 0 end) as int) as deleted,
+           cast(sum(case when doomed then 0 else 1 end) as int) as remaining
+    from m group by class_key order by class_key
+    """,
+)
+def q_delete_uris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WorkQueueFrontier.deleteURIs (engine operator tool,
+    WorkQueueFrontier.java:1064-1078): full-match queue+URI regex purge
+    of pending URIs with per-queue deleted/remaining tallies.  One
+    filter (pipelined, no shuffle) + one hash agg on the queue key."""
+    from heritrix_spark.operators.frontier_tools import delete_uris
+
+    u = _docs_urls(spark, sf_dir).select(
+        "url", class_key_col("url").alias("class_key")
+    )
+    kept, counts = delete_uris(u, _DELETE_Q_RE, _DELETE_U_RE)
+    return counts.orderBy("class_key")

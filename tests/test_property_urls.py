@@ -219,7 +219,7 @@ def test_expr_backends_match_py_on_adversarial_batch(spark):
     )
 
     df = spark.createDataFrame(
-        [(u,) for u in _ADVERSARIAL], "url string"
+        [(u,) for u in _ADVERSARIAL] + [(None,)], "url string"
     ).select(
         "url",
         canonicalize_expr_col("url").alias("canon_expr"),
@@ -231,6 +231,13 @@ def test_expr_backends_match_py_on_adversarial_batch(spark):
         F.lit(1).alias("one"),
     )
     for r in df.collect():
+        if r["url"] is None:
+            # null in → null out on every backend (the py twins only see
+            # non-null rows; columnar null propagation is the contract)
+            for c in ("canon_expr", "canon_arrow", "surt_expr",
+                      "surt_arrow", "ck_expr", "fixup"):
+                assert r[c] is None, c
+            continue
         assert r["canon_expr"] == canonicalize_py(r["url"]), r["url"]
         assert r["canon_arrow"] == canonicalize_py(r["url"]), r["url"]
         assert r["surt_expr"] == surt_py(r["url"]), r["url"]

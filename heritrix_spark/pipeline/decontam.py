@@ -87,37 +87,53 @@ def decontaminate(
     )
 
 
+def _mode_count_col(arr: Column) -> Column:
+    """Occurrence count of the most frequent array element — computed
+    row-locally as the longest run in the SORTED array (JVM
+    ``array_sort`` + one ``aggregate`` fold, O(L log L) per row).  The
+    per-document mode never needs a shuffle: exploding to a
+    (doc, element) groupBy would move every n-gram of the corpus
+    through an exchange for a statistic each row can compute alone."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    ).cast("int")
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-document repetition counts: (id_col, total_tokens,
     top2_count, dup5_tokens).  Fractions are the caller's division —
-    integers keep the engine/oracle compare exact."""
+    integers keep the engine/oracle compare exact.  Entirely row-local
+    (zero exchanges): the bigram mode is a sorted-run maximum, the
+    5-gram duplicate count an ``array_distinct`` difference."""
     base = docs.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
     )
-    row_local = base.select(
+    return base.select(
         id_col,
         F.size("toks").cast("int").alias("total_tokens"),
+        _mode_count_col(ngrams_col(F.col("toks"), 2)).alias("top2_count"),
         (
             F.size(ngrams_col(F.col("toks"), 5))
             - F.size(F.array_distinct(ngrams_col(F.col("toks"), 5)))
         )
         .cast("int")
         .alias("dup5_tokens"),
-    )
-    top2 = (
-        base.select(
-            id_col, F.explode(ngrams_col(F.col("toks"), 2)).alias("bg")
-        )
-        .groupBy(id_col, "bg")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").cast("int").alias("top2_count"))
-    )
-    return row_local.join(top2, on=id_col, how="left").select(
-        id_col,
-        "total_tokens",
-        F.coalesce(F.col("top2_count"), F.lit(0)).alias("top2_count"),
-        "dup5_tokens",
     )

@@ -48,7 +48,11 @@ def _norm(v):
 
 def _rows(records, columns):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in records)
+    rows = [tuple(_norm(r[i]) for i in order) for r in records]
+    # None is not orderable against str/int — sort on a None-safe key,
+    # compare the raw tuples (the real driver stringifies before
+    # hashing, which handles nulls the same way on both sides)
+    return sorted(rows, key=lambda t: tuple((v is None, str(v)) for v in t))
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -48,6 +48,7 @@ def extract_outlinks(
     url_col: str = "url",
     ordinal_col: str = "ordinal",
     suppress_trap_pattern: str | None = None,
+    meta_robots_col: str | None = None,
 ) -> DataFrame:
     """fetched(url, ordinal, fetch_status, hops_path, spans, ...) →
     links(via=url, parent_ordinal, target, hop_char, link_seq).
@@ -59,6 +60,13 @@ def extract_outlinks(
     (0 when under the cap). ``suppress_trap_pattern`` (e.g.
     :data:`TRAP_PATTERN`) drops trap-suspected pages from extraction
     entirely (TrapSuppressExtractor analog).
+
+    ``meta_robots_col`` names a per-page robots meta-tag content column;
+    when given, pages whose content contains ``nofollow`` or ``none``
+    (case-insensitive) mine no outlinks — ExtractorHTML's
+    obeyMetaRobotsNofollow law (ExtractorHTML.java:894-906: the robots
+    meta ends extraction for its page; the tag lives in <head>, so
+    page-level suppression is the whole-document effect).
     """
     # The whole expression set is static given the four parameters —
     # built once per crawl, reused every round (functions/colcache.py).
@@ -70,6 +78,11 @@ def extract_outlinks(
     eligible = fetched.filter(X["eligible"])
     if suppress_trap_pattern is not None:
         eligible = eligible.filter(~F.col(url_col).rlike(suppress_trap_pattern))
+    if meta_robots_col is not None:
+        mr = F.lower(F.coalesce(F.col(meta_robots_col), F.lit("")))
+        eligible = eligible.filter(
+            ~(mr.contains("nofollow") | mr.contains("none"))
+        )
 
     spans = eligible.select(*X["spans_sel"])
     span_links = spans.withColumn("links", X["links_col"])

@@ -45,3 +45,32 @@ def test_trap_suppression(spark):
     }
     suppressed = extract_outlinks(fetched, suppress_trap_pattern=TRAP_PATTERN)
     assert {r["via"] for r in suppressed.collect()} == {"http://h.example/fine.html"}
+
+
+def test_meta_robots_nofollow_suppression(spark):
+    """ExtractorHTML obeyMetaRobotsNofollow (ExtractorHTML.java:894-906):
+    'nofollow' or 'none' in the robots meta content (case-insensitive)
+    ends extraction for the page; other directives (noindex) don't."""
+    from heritrix_spark.operators.extract import extract_outlinks
+
+    spans = [{"kind": "text", "text": "see http://x.example/a",
+              "media_ref": None, "offset": 0}]
+    rows = [
+        ("http://p1.example/", 1, 200, "", spans, "NOFOLLOW"),
+        ("http://p2.example/", 2, 200, "", spans, "noindex,nofollow"),
+        ("http://p3.example/", 3, 200, "", spans, "NONE"),
+        ("http://p4.example/", 4, 200, "", spans, "noindex"),
+        ("http://p5.example/", 5, 200, "", spans, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, ordinal long, fetch_status int, hops_path string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,"
+        "offset:int>>, meta_robots string",
+    )
+    out = extract_outlinks(df, meta_robots_col="meta_robots")
+    assert sorted(r["via"] for r in out.collect()) == [
+        "http://p4.example/", "http://p5.example/",
+    ]
+    # without the column binding, nothing is suppressed
+    assert extract_outlinks(df).count() == 5

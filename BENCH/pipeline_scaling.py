@@ -80,9 +80,25 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     data = os.environ.get("PSCALING_DATA_DIR", f"/dev/shm/hxpscaling_{n}")
 
+    meta_path = f"{data}/meta.json"
     if not os.path.exists(f"{data}/documents"):
         out = run_sub(GEN.format(repo=repo), [str(n), data])
         assert "GENERATED" in out, out[-1500:]
+        with open(meta_path, "w") as f:
+            json.dump({"n_docs": n}, f)
+    else:
+        # a reused PSCALING_DATA_DIR must actually hold N_DOCS rows —
+        # otherwise docs_per_sec = n/elapsed silently reports a wrong
+        # throughput (and efficiency) with no warning
+        assert os.path.exists(meta_path), (
+            f"{data}/documents exists but has no meta.json; regenerate "
+            "or point PSCALING_DATA_DIR elsewhere"
+        )
+        with open(meta_path) as f:
+            have = json.load(f)["n_docs"]
+        assert have == n, (
+            f"dataset at {data} holds {have} docs but N_DOCS={n}"
+        )
 
     best: dict[int, dict] = {}
     all_runs: dict[int, list] = {lo: [], hi: []}

@@ -237,10 +237,14 @@ def synth_documents(
 
 
 def training_pipeline(docs: DataFrame) -> DataFrame:
-    """The measured training-corpus job (same composition as the
-    ``training_corpus`` driver row): MinHash-LSH near-dup pairs →
+    """The measured training-corpus job — same OPERATOR composition as
+    the ``training_corpus`` driver row (MinHash-LSH near-dup pairs →
     connected-component clusters → canonical survivors → quality/length
-    filter → deterministic split."""
+    filter → deterministic split), with relaxed thresholds (quality
+    ≥0.3, ≥10 tokens vs the driver row's 0.75/20): synth_documents'
+    'w12345'-style tokens score ~0.5 quality, so the driver row's
+    thresholds would filter the whole synthetic corpus and the bench
+    would time an empty survivor set."""
     from heritrix_spark.pipeline.components import (
         connected_components,
         keep_canonical,

@@ -3427,9 +3427,12 @@ _FHIST_IDENT = (
 )
 
 
-@register(
-    "fetch_history_revisits",
-    f"""
+def _fhist_oracle(extra_where: str = "") -> str:
+    """Shared fetch-history oracle (reference-length carry-forward +
+    lag-based history CTEs) — used by both fetch_history_revisits and
+    persist_continuation so the recurrence can never silently diverge
+    between the two rows."""
+    return f"""
     with v as ({_FHIST_V_DUCK}),
     r as (
       select *,
@@ -3455,39 +3458,19 @@ _FHIST_IDENT = (
            case when {_FHIST_IDENT} then 'warcRevisit:digest'
                 when fetch_status = 304 then 'warcRevisit:notModified'
                 else 'response' end as record_type
-    from h order by doc_id, seq
-    """,
-)
-def q_fetch_history_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FetchHistoryProcessor + IdenticalDigestDecideRule + WARC revisit
-    selection (recrawl/FetchHistoryProcessor.java:62-117,
-    fetcher/FetchHTTP.java setSizes :747-766,
-    deciderules/recrawl/IdenticalDigestDecideRule.java:62-80,
-    writer/WARCWriterProcessor.java:350-358): per fetch, the rotated
-    last-2 history array, the 304 reference-length carry-forward, and
-    the revisit-record decision.  The oracle recomputes the history via
-    lag() while Spark reads the previous entry OUT OF the rotated
-    array, cross-checking the array construction itself.  Pure window
-    plan: one hash shuffle on the URI key."""
+    from h {extra_where} order by doc_id, seq
+    """
+
+
+def _fhist_select(h: DataFrame) -> DataFrame:
+    """Shared Spark projection: previous entry read OUT OF the rotated
+    history array (cross-checking the array construction against the
+    oracle's lag())."""
     from heritrix_spark.operators.recrawl import (
-        fetch_history,
         has_identical_digest_col,
         warc_record_type_col,
     )
 
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
-        "documents"
-    )
-    v = spark.sql(_FHIST_V_SPARK)
-    h = fetch_history(
-        v,
-        k=2,
-        key_cols=("url",),
-        order_cols=("seq",),
-        etag="etag",
-        last_modified="last_modified",
-        content_length="content_length",
-    )
     prev = F.get(F.col("history"), 1)
     ident = has_identical_digest_col(F.col("history"))
     return h.select(
@@ -3502,6 +3485,38 @@ def q_fetch_history_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "record_type"
         ),
     ).orderBy("doc_id", "seq")
+
+
+
+
+@register("fetch_history_revisits", _fhist_oracle())
+def q_fetch_history_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FetchHistoryProcessor + IdenticalDigestDecideRule + WARC revisit
+    selection (recrawl/FetchHistoryProcessor.java:62-117,
+    fetcher/FetchHTTP.java setSizes :747-766,
+    deciderules/recrawl/IdenticalDigestDecideRule.java:62-80,
+    writer/WARCWriterProcessor.java:350-358): per fetch, the rotated
+    last-2 history array, the 304 reference-length carry-forward, and
+    the revisit-record decision.  The oracle recomputes the history via
+    lag() while Spark reads the previous entry OUT OF the rotated
+    array, cross-checking the array construction itself.  Pure window
+    plan: one hash shuffle on the URI key."""
+    from heritrix_spark.operators.recrawl import fetch_history
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    v = spark.sql(_FHIST_V_SPARK)
+    h = fetch_history(
+        v,
+        k=2,
+        key_cols=("url",),
+        order_cols=("seq",),
+        etag="etag",
+        last_modified="last_modified",
+        content_length="content_length",
+    )
+    return _fhist_select(h)
 
 
 # -------------------------------------------------- decontamination / repetition
@@ -3606,37 +3621,7 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "persist_continuation",
-    f"""
-    with v as ({_FHIST_V_DUCK}),
-    r as (
-      select *,
-        coalesce(
-          last_value(case when fetch_status <> 304 then content_length end
-                     ignore nulls)
-            over (partition by doc_id order by seq
-                  rows between unbounded preceding and current row),
-          first_value(content_length)
-            over (partition by doc_id order by seq)) as reference_length
-      from v),
-    h as (
-      select *,
-        lag(fetch_status) over w as prev_status,
-        lag(content_digest) over w as prev_digest,
-        count(*) over (partition by doc_id order by seq
-                       rows between 1 preceding and current row) as hlen
-      from r window w as (partition by doc_id order by seq))
-    select cast(doc_id as bigint) as doc_id, seq, fetch_status,
-           reference_length,
-           cast(prev_status as varchar) as prev_status, prev_digest,
-           {_FHIST_IDENT} as identical_digest,
-           case when {_FHIST_IDENT} then 'warcRevisit:digest'
-                when fetch_status = 304 then 'warcRevisit:notModified'
-                else 'response' end as record_type
-    from h where seq >= 2 order by doc_id, seq
-    """,
-)
+@register("persist_continuation", _fhist_oracle("where seq >= 2"))
 def q_persist_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PersistStore/PersistLoad round-trip across a crawl boundary
     (recrawl/PersistProcessor.java persistKeyFor :106-113 = the
@@ -3653,11 +3638,7 @@ def q_persist_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         persist_key_col,
         persist_store,
     )
-    from heritrix_spark.operators.recrawl import (
-        fetch_history,
-        has_identical_digest_col,
-        warc_record_type_col,
-    )
+    from heritrix_spark.operators.recrawl import fetch_history
 
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
@@ -3676,20 +3657,7 @@ def q_persist_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = persist_store(h1)
     h2 = continue_fetch_history(v.filter(F.col("seq") >= 2), store, k=2)
-    prev = F.get(F.col("history"), 1)
-    ident = has_identical_digest_col(F.col("history"))
-    return h2.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "seq",
-        "fetch_status",
-        "reference_length",
-        prev["fetch_status"].cast("string").alias("prev_status"),
-        prev["content_digest"].alias("prev_digest"),
-        ident.alias("identical_digest"),
-        warc_record_type_col(ident, F.col("fetch_status")).alias(
-            "record_type"
-        ),
-    ).orderBy("doc_id", "seq")
+    return _fhist_select(h2)
 
 
 @register(

@@ -53,6 +53,23 @@ _SURT_RE = re.compile(SURT_SPLITTER)
 _SEP = "\x01"
 
 
+def _surt_expr(col: Column, lower: bool) -> Column:
+    """Shared body of the Catalyst SURT backends (lowered default form
+    and the case-preserving persist-key form)."""
+    repl = _SEP.join(f"${i}" for i in range(1, 8))
+    parts = F.split(F.regexp_replace(col, SURT_SPLITTER, repl), _SEP, -1)
+    scheme, userinfo, at = parts[0], parts[1], parts[2]
+    ip, host, port, path = parts[3], parts[4], parts[5], parts[6]
+    revhost = F.when(
+        ip != F.lit(""),
+        ip,
+    ).otherwise(F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(",")))
+    surt = F.concat(scheme, F.lit("("), revhost, port, at, userinfo, F.lit(")"), path)
+    if lower:
+        surt = F.lower(surt)
+    return F.when(F.size(parts) == 7, surt).otherwise(col)
+
+
 def surt_expr_col(url: Column | str) -> Column:
     """SURT form as a native Catalyst expression (no Python).
 
@@ -66,18 +83,7 @@ def surt_expr_col(url: Column | str) -> Column:
     makes this ~10x slower per row).
     """
     col = F.col(url) if isinstance(url, str) else url
-    repl = _SEP.join(f"${i}" for i in range(1, 8))
-    parts = F.split(F.regexp_replace(col, SURT_SPLITTER, repl), _SEP, -1)
-    scheme, userinfo, at = parts[0], parts[1], parts[2]
-    ip, host, port, path = parts[3], parts[4], parts[5], parts[6]
-    revhost = F.when(
-        ip != F.lit(""),
-        ip,
-    ).otherwise(F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(",")))
-    surt = F.lower(
-        F.concat(scheme, F.lit("("), revhost, port, at, userinfo, F.lit(")"), path)
-    )
-    return F.when(F.size(parts) == 7, surt).otherwise(col)
+    return _surt_expr(col, lower=True)
 
 
 def class_key_expr_col(url: Column | str) -> Column:
@@ -199,15 +205,7 @@ def surt_case_expr_col(url: Column | str) -> Column:
     """Case-preserving SURT as a Catalyst expression (fallback backend;
     same pack trick as :func:`surt_expr_col`, no final lowercase)."""
     col = F.col(url) if isinstance(url, str) else url
-    repl = _SEP.join(f"${i}" for i in range(1, 8))
-    parts = F.split(F.regexp_replace(col, SURT_SPLITTER, repl), _SEP, -1)
-    scheme, userinfo, at = parts[0], parts[1], parts[2]
-    ip, host, port, path = parts[3], parts[4], parts[5], parts[6]
-    revhost = F.when(ip != F.lit(""), ip).otherwise(
-        F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(","))
-    )
-    surt = F.concat(scheme, F.lit("("), revhost, port, at, userinfo, F.lit(")"), path)
-    return F.when(F.size(parts) == 7, surt).otherwise(col)
+    return _surt_expr(col, lower=False)
 
 
 def class_key_col(url: Column | str) -> Column:
@@ -297,25 +295,25 @@ def class_key_with_overrides_col(
 # ---------------------------------------------------------------- Python
 
 
-def surt_py(url: str) -> str:
+def _surt_py(url: str, lower: bool) -> str:
     m = _SURT_RE.match(url)
     if not m:
         return url
     scheme, userinfo, at, ip, host, port, path = (m.group(i) or "" for i in range(1, 8))
     hostpart = ip if ip else ",".join(reversed(host.split("."))) + ","
-    return f"{scheme}({hostpart}{port}{at}{userinfo}){path}".lower()
+    out = f"{scheme}({hostpart}{port}{at}{userinfo}){path}"
+    return out.lower() if lower else out
+
+
+def surt_py(url: str) -> str:
+    return _surt_py(url, lower=True)
 
 
 def surt_case_py(url: str) -> str:
     """Case-preserving twin of :func:`surt_py` (SURT.fromURI(s, true),
     SURT.java:121-160) — the persist-key form
     (PersistProcessor.persistKeyFor, recrawl/PersistProcessor.java:106-113)."""
-    m = _SURT_RE.match(url)
-    if not m:
-        return url
-    scheme, userinfo, at, ip, host, port, path = (m.group(i) or "" for i in range(1, 8))
-    hostpart = ip if ip else ",".join(reversed(host.split("."))) + ","
-    return f"{scheme}({hostpart}{port}{at}{userinfo}){path}"
+    return _surt_py(url, lower=False)
 
 
 def class_key_py(url: str) -> str:

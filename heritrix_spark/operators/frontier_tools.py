@@ -36,8 +36,13 @@ def delete_uris(
     """Returns ``(kept_frontier, per_queue_counts)`` where the counts
     frame is (queue_col, deleted, remaining) for every queue the
     frontier currently holds."""
-    doomed = _full_match(F.col(queue_col), queue_regex) & _full_match(
-        F.col(uri_col), uri_regex
+    # null url/class_key must behave as "not matched" on BOTH the kept
+    # filter and the tallies (a bare null predicate would silently drop
+    # the row from kept while counting it as remaining)
+    doomed = F.coalesce(
+        _full_match(F.col(queue_col), queue_regex)
+        & _full_match(F.col(uri_col), uri_regex),
+        F.lit(False),
     )
     kept = frontier.filter(~doomed)
     counts = frontier.groupBy(queue_col).agg(

@@ -126,14 +126,22 @@ def repetition_stats(
     base = docs.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
     )
-    return base.select(
+    # materialize the 5-gram array ONCE in a prior projection: each
+    # ngrams_col call mints fresh lambda variables, so Catalyst never
+    # CSEs two structurally-distinct transform trees (same trap as the
+    # minhash walk, pipeline/dedup.py) — referencing the named column
+    # keeps the dominant per-row cost single-pass
+    staged = base.select(
         id_col,
         F.size("toks").cast("int").alias("total_tokens"),
-        _mode_count_col(ngrams_col(F.col("toks"), 2)).alias("top2_count"),
-        (
-            F.size(ngrams_col(F.col("toks"), 5))
-            - F.size(F.array_distinct(ngrams_col(F.col("toks"), 5)))
-        )
+        ngrams_col(F.col("toks"), 2).alias("__bg"),
+        ngrams_col(F.col("toks"), 5).alias("__f5"),
+    )
+    return staged.select(
+        id_col,
+        "total_tokens",
+        _mode_count_col(F.col("__bg")).alias("top2_count"),
+        (F.size("__f5") - F.size(F.array_distinct("__f5")))
         .cast("int")
         .alias("dup5_tokens"),
     )

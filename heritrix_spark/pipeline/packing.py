@@ -53,9 +53,11 @@ def pack_sequences(
     if id_bound is None:
         id_bound = docs.agg(F.max(F.col(id_col))).collect()[0][0] or 0
 
-    bucket = F.floor(
-        F.col(id_col).cast("long") * F.lit(num_buckets) / F.lit(int(id_bound) + 1)
-    ).cast("int")
+    # width-based monotone bucketing: `id div width` never multiplies,
+    # so hash-scale ids (up to 2^63-1) cannot overflow — `id * B` would
+    # throw under ANSI mode (or wrap non-monotone without it)
+    width = max(int(id_bound) // num_buckets, 0) + 1
+    bucket = F.expr(f"cast(`{id_col}` as long) div {width}").cast("int")
     work = base.withColumn("__bucket", bucket).repartition(
         num_buckets, F.col("__bucket")
     )

@@ -31,3 +31,22 @@ def test_delete_uris_full_match_semantics(spark):
         "example,ab,": (0, 1),
         "example,b,": (0, 1),
     }
+
+
+def test_delete_uris_null_rows_kept_and_counted(spark):
+    f = spark.createDataFrame(
+        [("example,a,", "http://a.example/spam/1"),
+         (None, "http://orphan.example/x"),
+         ("example,a,", None)],
+        "class_key string, url string",
+    )
+    kept, counts = delete_uris(
+        f, queue_regex="example,a,", uri_regex=".*spam.*"
+    )
+    # null-keyed rows are NOT matched: they stay in kept and count as
+    # remaining (a bare null predicate would drop them from kept while
+    # tallying them remaining)
+    assert kept.count() == 2
+    c = {r["class_key"]: (r["deleted"], r["remaining"])
+         for r in counts.collect()}
+    assert c == {"example,a,": (1, 1), None: (0, 1)}

@@ -77,3 +77,28 @@ def test_pack_explicit_bound_matches_derived(spark):
         map(tuple, pack_sequences(df, block=16, id_bound=59).collect())
     )
     assert a == b
+
+
+def test_pack_hash_scale_ids_no_overflow(spark):
+    # ids near 2^62: `id * num_buckets` would overflow int64; the
+    # width-based bucketing must stay exact and monotone
+    ids = [2**62 + 17, 2**61, 5, 2**62, 2**60 + 3]
+    rows = [(i, " ".join(f"w{j}" for j in range(7 + i % 5))) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        pack_sequences(df, block=8, num_buckets=200).collect(),
+        key=lambda r: (r["doc_id"], r["example_id"]),
+    )
+    # sequential twin
+    want = []
+    start = 0
+    for i in sorted(ids):
+        n = 7 + i % 5
+        for e in range(start // 8, (start + n - 1) // 8 + 1):
+            want.append((i, e, max(start, e * 8) - e * 8,
+                         max(start, e * 8) - start,
+                         min(start + n, (e + 1) * 8) - max(start, e * 8)))
+        start += n
+    got = [(r["doc_id"], r["example_id"], r["example_offset"],
+            r["doc_offset"], r["piece_len"]) for r in out]
+    assert sorted(got) == sorted(want)

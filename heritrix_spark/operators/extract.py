@@ -145,10 +145,16 @@ def _extract_exprs(max_outlinks: int, url_col: str, ordinal_col: str) -> dict:
         ),
     ).otherwise(F.array().cast("array<struct<target:string,hop_char:string>>"))
 
+    # kind='refresh': a <meta http-equiv=refresh content="...;url=X">
+    # span's media_ref is the refresh target → one 'R' (REFER) outlink
+    # (ExtractorHTML.java:907-918 addRelativeToBase(..., Hop.REFER))
+    refresh_links = redirect_links
+
     links_col = (
         F.when(F.col("span.kind") == "text", text_links)
         .when(F.col("span.kind") == "script", script_links)
         .when(F.col("span.kind") == "redirect", redirect_links)
+        .when(F.col("span.kind") == "refresh", refresh_links)
         .otherwise(media_links)
     )
 

@@ -74,3 +74,32 @@ def test_meta_robots_nofollow_suppression(spark):
     ]
     # without the column binding, nothing is suppressed
     assert extract_outlinks(df).count() == 5
+
+
+def test_meta_refresh_emits_refer_link(spark):
+    """<meta http-equiv=refresh content=';url=X'> → one 'R' outlink
+    (ExtractorHTML.java:907-918, Hop.REFER)."""
+    from heritrix_spark.operators.extract import extract_outlinks
+
+    rows = [
+        ("http://p.example/", 1, 200, "", [
+            {"kind": "refresh", "text": None,
+             "media_ref": "http://p.example/next", "offset": 0},
+            {"kind": "text", "text": "see http://x.example/a",
+             "media_ref": None, "offset": 1},
+        ]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, ordinal long, fetch_status int, hops_path string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,"
+        "offset:int>>",
+    )
+    got = sorted(
+        (r["target"], r["hop_char"])
+        for r in extract_outlinks(df).collect()
+    )
+    assert got == [
+        ("http://p.example/next", "R"),
+        ("http://x.example/a", "L"),
+    ]

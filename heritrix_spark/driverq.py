@@ -3733,3 +3733,215 @@ def q_delete_uris(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept, counts = delete_uris(u, _DELETE_Q_RE, _DELETE_U_RE)
     return counts.orderBy("class_key")
+
+
+# -------------------------------------------------- unigram LM scoring
+
+_LM_VOCAB_K = 4096
+
+
+@register(
+    "unigram_logprob",
+    f"""
+    with t as (select doc_id, {_DECON_TOKS} as toks from documents),
+    tok as (select doc_id, unnest(toks) as token from t),
+    vocab as (select token, cast(count(*) as double) as c from tok
+              group by token order by c desc, token limit {_LM_VOCAB_K}),
+    tot as (select cast(count(*) as double) as tt from tok),
+    sc as (select tk.doc_id,
+                  sum(ln(coalesce(v.c, 1.0)) - ln(tot.tt)) as s,
+                  count(*) as n,
+                  sum(case when v.c is null then 1 else 0 end) as oov
+           from tok tk left join vocab v using (token), tot
+           group by tk.doc_id)
+    select cast(t.doc_id as bigint) as doc_id,
+           cast(len(t.toks) as int) as n_tokens,
+           cast(coalesce(sc.oov, 0) as int) as oov_tokens,
+           round(coalesce(sc.s / sc.n, 0.0), 6) as avg_logprob
+    from t left join sc using (doc_id) order by doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality score: mean per-token
+    ln(count/total) under the corpus's own heavy-hitter vocabulary
+    (add-one OOV floor).  Fit = one map-side-combinable hash agg +
+    TakeOrdered (bounded driver rows); score = a row-local JVM fold
+    over each token array in array order — zero shuffles, no Python,
+    deterministic float accumulation the oracle replays exactly."""
+    from heritrix_spark.pipeline.lm import fit_unigram_lm, unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab, total = fit_unigram_lm(docs, vocab_k=_LM_VOCAB_K)
+    return (
+        unigram_logprob(docs, vocab, total)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_tokens",
+            "oov_tokens",
+            "avg_logprob",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------- cross-doc n-gram dup
+
+@register(
+    "cross_doc_ngram_dup",
+    f"""
+    with t0 as (select doc_id, {_DECON_TOKS} as toks from documents),
+    corpus as (
+      select cast(doc_id as bigint) as doc_id, toks from t0
+      union all
+      select cast(doc_id + 1000000 as bigint) as doc_id, toks[3:30] as toks
+      from t0 where doc_id % 17 = 0 and len(toks) >= 30
+    ),
+    g0 as (select doc_id, list_distinct(list_transform(
+             range(1, len(toks) - 11),
+             i -> array_to_string(toks[i:i+12], ' '))) as gs
+           from corpus where len(toks) >= 13),
+    g as (select doc_id,
+                 ('0x' || substr(md5(unnest(gs)), 1, 15))::bigint as gh
+          from g0),
+    c as (select doc_id, count(*) over (partition by gh) as ndocs from g),
+    s as (select doc_id, cast(count(*) as int) as shared_grams
+          from c where ndocs > 1 group by doc_id)
+    select c2.doc_id,
+           cast(coalesce(len(g0.gs), 0) as int) as n_grams,
+           coalesce(s.shared_grams, 0) as shared_grams,
+           case when coalesce(len(g0.gs), 0) > 0
+                then round(cast(coalesce(s.shared_grams, 0) as double)
+                           / len(g0.gs), 6)
+                else 0.0 end as dup_frac
+    from corpus c2
+    left join g0 using (doc_id) left join s using (doc_id)
+    order by doc_id
+    """,
+)
+def q_cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022 reduced to bounded
+    13-gram membership): per document, the count/fraction of its
+    distinct 13-grams appearing in any OTHER document.  The fixture
+    plants real overlap — every 17th document re-emits a 28-token slice
+    of itself as a new doc.  Grams hash to md5-60 before the exchange
+    (gram text never shuffles); sharing is one count-only window on the
+    gram hash + one doc-keyed hash agg."""
+    from heritrix_spark.pipeline.decontam import cross_doc_ngram_overlap
+    from heritrix_spark.pipeline.textstats import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_col(F.col("text"))
+    planted = (
+        docs.where((F.col("doc_id") % 17 == 0) & (F.size(toks) >= 30))
+        .select(
+            (F.col("doc_id") + 1000000).cast("long").alias("doc_id"),
+            F.array_join(F.slice(toks, 3, 28), " ").alias("text"),
+        )
+    )
+    corpus = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).unionByName(planted)
+    return cross_doc_ngram_overlap(corpus, n=13).orderBy("doc_id")
+
+
+# -------------------------------------------------- PII redaction
+
+_PII_AUG = (
+    "text || ' reach user' || cast(doc_id as string) || '@mail' || "
+    "cast(doc_id % 7 as string) || '.example or 555-' || "
+    "lpad(cast(doc_id % 1000 as string), 3, '0') || '-' || "
+    "lpad(cast(doc_id % 10000 as string), 4, '0') || "
+    "case when doc_id % 5 = 0 then ' ip 10.0.' || cast(doc_id % 256 as string) "
+    "|| '.' || cast(1 + doc_id % 254 as string) else '' end || "
+    "case when doc_id % 11 = 3 then ' ssn 987-65-' || "
+    "lpad(cast(doc_id % 10000 as string), 4, '0') else '' end"
+)
+
+
+def _pii_oracle() -> str:
+    from heritrix_spark.pipeline.pii import pii_count_sql, redact_pii_sql
+
+    return f"""
+    with a as (select doc_id, {_PII_AUG} as text from documents)
+    select cast(doc_id as bigint) as doc_id,
+           {pii_count_sql('text', 'email')} as n_email,
+           {pii_count_sql('text', 'ipv4')} as n_ipv4,
+           {pii_count_sql('text', 'ssn')} as n_ssn,
+           {pii_count_sql('text', 'phone')} as n_phone,
+           md5({redact_pii_sql('text')}) as redacted_hash
+    from a order by doc_id
+    """
+
+
+@register("pii_redaction", _pii_oracle())
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: per-document match counts for each pattern
+    (email / IPv4 / SSN-shaped / phone-shaped) plus the md5 of the
+    redacted text (the redaction receipt).  The fixture deterministically
+    plants PII derived from doc_id so the patterns fire at every scale.
+    Pure JVM-regex projection — no shuffle, no Python; patterns live in
+    the Java-regex ∩ RE2 subset so the oracle matches byte-for-byte."""
+    from heritrix_spark.pipeline.pii import pii_stats
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    aug = spark.sql(f"select doc_id, {_PII_AUG} as text from documents")
+    return (
+        pii_stats(aug)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_email",
+            "n_ipv4",
+            "n_ssn",
+            "n_phone",
+            "redacted_hash",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------- source mixture
+
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.2, "src3": 0.2, "src7": 0.2}
+_MIX_TOTAL_N = 60
+
+
+def _mixture_oracle() -> str:
+    from heritrix_spark.pipeline.sampling import duck_sample_hash, mix_quotas
+
+    quotas = mix_quotas(_MIX_WEIGHTS, _MIX_TOTAL_N)
+    quota_case = " ".join(
+        f"when '{g}' then {q}" for g, q in sorted(quotas.items())
+    )
+    return f"""
+    with h as (select doc_id, source,
+                      {duck_sample_hash('doc_id', 'mix')} as sh
+               from documents),
+    r as (select doc_id, source,
+                 row_number() over (partition by source
+                     order by sh asc, cast(doc_id as string) asc) as rk
+          from h)
+    select cast(doc_id as bigint) as doc_id, source from r
+    where rk <= case source {quota_case} else 0 end
+    order by doc_id
+    """
+
+
+@register("source_mixture", _mixture_oracle())
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-mixture composition: draw a corpus whose source proportions
+    follow target weights — floor(total·w) rows per source, chosen by
+    salted-hash order (deterministic under reruns/repartitioning; a
+    source smaller than its quota contributes everything).  One window
+    shuffle on the source key."""
+    from heritrix_spark.pipeline.sampling import mix_by_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        mix_by_weights(
+            docs, F.col("source"), F.col("doc_id"), _MIX_WEIGHTS, _MIX_TOTAL_N
+        )
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+        .orderBy("doc_id")
+    )

@@ -24,7 +24,7 @@ training-data pipelines over ``documents``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from heritrix_spark.pipeline.textstats import tokens_col
@@ -83,6 +83,66 @@ def decontaminate(
             (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias(
                 "contaminated"
             ),
+        )
+    )
+
+
+def cross_doc_ngram_overlap(
+    docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup signal (the bounded n-gram membership form
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): for each document, how many of its distinct word
+    ``n``-grams also occur in at least one OTHER document.  Returns
+    (id_col, n_grams, shared_grams, dup_frac) — one row per document,
+    ``dup_frac`` = shared/total distinct n-grams (0.0 when the document
+    is shorter than ``n`` tokens).
+
+    Scale shape: per-doc distinct n-grams are hashed to md5-60 **before**
+    the exchange so no gram text ever shuffles; cross-doc sharing is a
+    count-only window keyed on the gram hash (a hot boilerplate gram is
+    one skewed-but-trivial count partition, never a join fan-out), then
+    one hash aggregation on doc_id.  Because each document contributes a
+    gram at most once, the window count IS the number of documents
+    containing that gram."""
+    from heritrix_spark.pipeline.dedup import md5_60
+
+    staged = docs.select(
+        F.col(id_col),
+        F.array_distinct(ngrams_col(tokens_col(F.col(text_col)), n)).alias(
+            "__gs"
+        ),
+    )
+    grams = staged.select(id_col, F.explode("__gs").alias("__g")).select(
+        id_col, md5_60(F.col("__g")).alias("__gh")
+    )
+    w = Window.partitionBy("__gh")
+    shared = (
+        grams.withColumn("__ndocs", F.count("*").over(w))
+        .where(F.col("__ndocs") > 1)
+        .groupBy(id_col)
+        .agg(F.count("*").cast("int").alias("shared_grams"))
+    )
+    n_grams = F.size("__gs").cast("int")
+    return (
+        staged.join(shared, on=id_col, how="left")
+        .select(
+            id_col,
+            n_grams.alias("n_grams"),
+            F.coalesce(F.col("shared_grams"), F.lit(0)).alias("shared_grams"),
+            F.when(
+                n_grams > 0,
+                F.round(
+                    F.coalesce(F.col("shared_grams"), F.lit(0)).cast("double")
+                    / n_grams.cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
         )
     )
 

@@ -111,6 +111,49 @@ def cap_per_group(
     )
 
 
+def mix_quotas(weights: dict[str, float], total_n: int) -> dict[str, int]:
+    """Per-group row quotas for :func:`mix_by_weights`:
+    ``floor(total_n · w_g / Σw)`` — the deterministic integer allocation
+    (no largest-remainder fixup: quotas must be a pure per-group
+    function so the oracle can replay them)."""
+    tot = sum(weights.values())
+    if tot <= 0:
+        raise ValueError("weights must sum to a positive value")
+    return {g: int(total_n * w / tot) for g, w in weights.items()}
+
+
+def mix_by_weights(
+    df: DataFrame,
+    group: Column,
+    key: Column,
+    weights: dict[str, float],
+    total_n: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Corpus mixture composition: draw a ~``total_n``-row corpus whose
+    group (source/domain/language) proportions follow ``weights`` —
+    the epoch-mixing step of a pre-training data pipeline.  Each group
+    contributes its quota's worth of rows chosen uniformly by salted
+    hash order (groups not named in ``weights`` are dropped; a group
+    smaller than its quota contributes everything it has).  One window
+    shuffle on the group key; deterministic under reruns and
+    repartitioning."""
+    quotas = mix_quotas(weights, total_n)
+    pairs: list[Column] = []
+    for g, q in sorted(quotas.items()):
+        pairs.append(F.lit(g))
+        pairs.append(F.lit(q))
+    quota_map = F.create_map(*pairs)
+    w = Window.partitionBy(group).orderBy(
+        sample_hash_col(key, salt).asc(), key.cast("string").asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= F.coalesce(quota_map[group], F.lit(0)))
+        .drop("__rk")
+    )
+
+
 def duck_sample_hash(key_sql: str, salt: str = "") -> str:
     """DuckDB twin of :func:`sample_hash_col` for oracle SQL."""
     return (

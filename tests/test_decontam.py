@@ -100,3 +100,57 @@ def test_repetition_stats_matches_py_twin(spark):
             len(fives) - len(set(fives)),
         )
         assert got[i] == want, (i, t)
+
+
+def test_cross_doc_ngram_overlap_planted(spark):
+    from heritrix_spark.pipeline.decontam import cross_doc_ngram_overlap
+
+    base = " ".join(f"w{i}" for i in range(20))  # 20 tokens → 8 13-grams
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact duplicate: every gram shared
+            (3, " ".join(f"w{i}" for i in range(5, 19))),  # 14-token slice
+            (4, "totally different words repeated nowhere else at all "
+                "and still more unique filler tokens here to pass "
+                "thirteen easily done"),
+            (5, "short doc"),  # < 13 tokens → zero grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["shared_grams"], r["dup_frac"])
+        for r in cross_doc_ngram_overlap(docs, n=13).collect()
+    }
+    # docs 1/2 share all 8 grams with each other; doc 3's 2 grams
+    # (tokens 5..18) are interior grams of base, so they're shared too
+    assert out[1] == (8, 8, 1.0)
+    assert out[2] == (8, 8, 1.0)
+    assert out[3] == (2, 2, 1.0)
+    assert out[4][1] == 0 and out[4][2] == 0.0
+    assert out[5] == (0, 0, 0.0)
+
+
+def test_cross_doc_ngram_overlap_matches_py_twin(spark):
+    from heritrix_spark.pipeline.decontam import cross_doc_ngram_overlap
+
+    rows = []
+    for d in range(30):
+        toks = [f"t{(d * 7 + i * (1 + d % 5)) % 41}" for i in range(16 + d % 9)]
+        rows.append((d, " ".join(toks)))
+    n = 13
+    grams = {d: set(_py_ngrams(t, n)) for d, t in rows}
+    exp = {}
+    for d, gs in grams.items():
+        shared = sum(
+            1 for g in gs
+            if any(g in go for do, go in grams.items() if do != d)
+        )
+        exp[d] = (len(gs), shared,
+                  round(shared / len(gs), 6) if gs else 0.0)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["shared_grams"], r["dup_frac"])
+        for r in cross_doc_ngram_overlap(df, n=n).collect()
+    }
+    assert got == exp

@@ -124,3 +124,52 @@ def test_token_topk_matches_python(spark, docs):
         df.update(set(toks))
     want = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert [(t, n, df[t]) for t, n in want] == got
+
+
+def test_mix_by_weights_quotas_and_determinism(spark, docs):
+    from heritrix_spark.pipeline.sampling import mix_by_weights, mix_quotas
+    from pyspark.sql import functions as F
+
+    weights = {"s0": 0.5, "s1": 0.25, "s2": 0.25, "ghost": 0.0}
+    quotas = mix_quotas(weights, 40)
+    assert quotas == {"s0": 20, "s1": 10, "s2": 10, "ghost": 0}
+
+    df = docs.withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string"))
+    )
+    picked = mix_by_weights(
+        df, F.col("source"), F.col("doc_id"), weights, 40
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in picked.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # s3 not in weights → dropped entirely; ghost has no rows
+    assert by_src == {"s0": 20, "s1": 10, "s2": 10}
+
+    ids1 = sorted(r["doc_id"] for r in picked.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in mix_by_weights(
+            df.repartition(7), F.col("source"), F.col("doc_id"), weights, 40
+        ).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_mix_by_weights_small_group_contributes_all(spark):
+    from heritrix_spark.pipeline.sampling import mix_by_weights
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 50 else "tiny") for i in range(53)],
+        "doc_id long, source string",
+    )
+    picked = mix_by_weights(
+        df, F.col("source"), F.col("doc_id"), {"big": 0.5, "tiny": 0.5}, 40
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in picked.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src == {"big": 20, "tiny": 3}  # tiny has only 3 rows

@@ -134,6 +134,21 @@ class PolitenessConfig:
     # the host's robots directives gate fetches. The robots URI itself is
     # exempt from robots preclusion and from outlink extraction.
     robots_prereq: bool = False
+    # Robots expiry (CrawlServer.isRobotsExpired, modules/.../net/
+    # CrawlServer.java:308-323 + PreconditionEnforcer.java:219-236): a
+    # host whose robots stamp is older than this many ms at emission
+    # time is treated exactly like never-fetched — the emission DEFERS
+    # and the robots URI is re-force-scheduled (markPrerequisite fires
+    # "even though its already crawled"; addForce bypasses the seen
+    # set). 0 = robots valid forever (the reference's 0 semantics;
+    # Heritrix's shipped default is 86400 s). Expired iff
+    # robots_fetched + validity < now (strict, :317). Hazard, faithful
+    # to the reference: a validity below a host's politeness delay
+    # livelocks that host (robots is re-expired at every wake, so the
+    # blocked URI re-defers forever — heritrix3 never consults
+    # CrawlURI.getDeferrals(), so it has no cap either); the guard in
+    # both engines is the crawl-level round bound.
+    robots_validity_ms: int = 0
     # Bloom-sidecar prefilter for the URL-seen set (operators/bloomseen.py;
     # BloomUriUniqFilter analog, but accuracy-preserving — the exact
     # anti-join stays authoritative). > 0 = bits per shard bloom (power

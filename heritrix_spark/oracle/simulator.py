@@ -365,8 +365,15 @@ def simulate(
                 allowed = True  # robots.txt exempt from preclusion
             crawl_delay = rb["crawl_delay"] if rb else -1.0
 
+            # never fetched OR expired (CrawlServer.isRobotsExpired
+            # :308-323: expired iff fetched + validity < now, strict;
+            # validity 0 = valid forever)
+            robots_stale = host.robots_fetched < 0 or (
+                cfg.robots_validity_ms > 0
+                and host.robots_fetched + cfg.robots_validity_ms < now
+            )
             deferred = (
-                cfg.robots_prereq and not is_robots_uri and host.robots_fetched < 0
+                cfg.robots_prereq and not is_robots_uri and robots_stale
             )
             spans = docs.get(uri.canon_url)
             if deferred:

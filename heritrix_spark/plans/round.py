@@ -360,7 +360,17 @@ def _build_round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) ->
     # ---- robots prerequisite gate
     if cfg.robots_prereq:
         is_robots_uri = F.col("canon_url").rlike(ROBOTS_URI_PATTERN)
-        defer_cond = (F.col("robots_fetched") < 0) & ~is_robots_uri
+        stale = F.col("robots_fetched") < 0
+        if cfg.robots_validity_ms > 0:
+            # robots expiry (CrawlServer.isRobotsExpired :308-323):
+            # expired iff fetched + validity < now (strict). __now_ms is
+            # the round clock, attached per round in run_round — the
+            # only per-round value this cached tree reads as a column.
+            stale = stale | (
+                F.col("robots_fetched") + F.lit(cfg.robots_validity_ms)
+                < F.col("__now_ms")
+            )
+        defer_cond = stale & ~is_robots_uri
     else:
         is_robots_uri = F.lit(False)
         defer_cond = F.lit(False)
@@ -753,6 +763,9 @@ def run_round(
     fetched = emitted.join(
         docs_sel, on=emitted["canon_url"] == docs_sel["doc_id"], how="left"
     ).drop("doc_id")
+    if cfg.robots_prereq and cfg.robots_validity_ms > 0:
+        # the round clock, read by the cached defer_cond tree
+        fetched = fetched.withColumn("__now_ms", F.lit(now).cast("long"))
     fetched = (
         fetched.withColumn("fetch_status", E["fetch_status"])
         .withColumn("fetch_duration_ms", E["fetch_duration"])

@@ -134,6 +134,16 @@ class PolitenessConfig:
     # the host's robots directives gate fetches. The robots URI itself is
     # exempt from robots preclusion and from outlink extraction.
     robots_prereq: bool = False
+    # Seed source-tag attribution (SeedModule.sourceTagSeeds,
+    # modules/.../seeds/SeedModule.java:40-46; TextSeedModule.java:181
+    # sets the seed's own URI string as its tag): every discovered URI
+    # inherits its seed-of-origin (CrawlURI.setSourceTag :1503-1505
+    # makeHeritable — the tag flows through L/E/X/R/I outlinks and 'P'
+    # prerequisites alike). Feeds the SourceTagsReport (source, host,
+    # #urls) tally of successful fetches (StatisticsTracker.java:765-769).
+    # Off by default, as in the reference; the fetch_log `source` column
+    # is null when disabled.
+    source_tag_seeds: bool = False
     # Robots expiry (CrawlServer.isRobotsExpired, modules/.../net/
     # CrawlServer.java:308-323 + PreconditionEnforcer.java:219-236): a
     # host whose robots stamp is older than this many ms at emission

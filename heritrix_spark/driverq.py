@@ -1259,6 +1259,37 @@ def q_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CRAWL_FIXTURE = dict(hosts=4, docs_per_host=4, links_per_doc=3, seed=7)
 
 
+# the fixture crawl runs with seed source-tagging ON so the fetch log
+# carries the heritable seed-of-origin column the report rows tally
+# (SeedModule.sourceTagSeeds; SeedsReport / SourceTagsReport)
+_CRAWL_CFG = PolitenessConfig(source_tag_seeds=True)
+_CRAWL_CACHE: dict = {}
+
+
+def _fixture_crawl_log(spark: SparkSession) -> DataFrame:
+    """Run the deterministic fixture crawl ONCE per process and detach
+    its fetch log from the temp store; `crawl_rounds`, `seeds_report`
+    and `source_host_tally` all read this one crawl (the reference
+    likewise writes all its reports from one StatisticsTracker)."""
+    if "log" not in _CRAWL_CACHE:
+        import tempfile
+
+        from heritrix_spark.fixtures.gen import generate, write_parquet
+        from heritrix_spark.plans.crawl import crawl
+
+        fx = generate(**_CRAWL_FIXTURE)
+        with tempfile.TemporaryDirectory(prefix="hxq_") as tmp:
+            paths = write_parquet(fx, tmp)
+            docs = spark.read.parquet(paths["docs"])
+            seeds = spark.read.parquet(paths["seeds"])
+            robots = spark.read.parquet(paths["robots"])
+            result = crawl(spark, f"{tmp}/store", docs, seeds, robots, _CRAWL_CFG)
+            log = result.fetch_log().orderBy("round", "class_key", "ordinal")
+            _CRAWL_CACHE["rows"] = log.collect()  # detach from tmp store
+            _CRAWL_CACHE["schema"] = log.schema
+    return spark.createDataFrame(_CRAWL_CACHE["rows"], _CRAWL_CACHE["schema"])
+
+
 def q_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end operator: run a complete crawl on the
     deterministic synthetic fixture and return the fetch log. The oracle
@@ -1266,21 +1297,7 @@ def q_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same Heritrix semantics, oracle/simulator.py) whose fetch log
     is exported to parquet and read back by DuckDB — the driver-gate form
     of the tests/test_end_to_end.py equality."""
-    import tempfile
-
-    from heritrix_spark.fixtures.gen import generate, write_parquet
-    from heritrix_spark.plans.crawl import crawl
-
-    fx = generate(**_CRAWL_FIXTURE)
-    with tempfile.TemporaryDirectory(prefix="hxq_") as tmp:
-        paths = write_parquet(fx, tmp)
-        docs = spark.read.parquet(paths["docs"])
-        seeds = spark.read.parquet(paths["seeds"])
-        robots = spark.read.parquet(paths["robots"])
-        result = crawl(spark, f"{tmp}/store", docs, seeds, robots)
-        log = result.fetch_log().orderBy("round", "class_key", "ordinal")
-        log = spark.createDataFrame(log.collect(), log.schema)  # detach from tmp store
-    return log
+    return _fixture_crawl_log(spark)
 
 
 def _crawl_rounds_oracle() -> str:
@@ -1300,19 +1317,19 @@ def _crawl_rounds_oracle() -> str:
 
     path = os.path.join(
         tempfile.gettempdir(),
-        "hx_crawl_rounds_oracle_h{hosts}d{docs_per_host}l{links_per_doc}"
+        "hx_crawl_rounds_oracle_src_h{hosts}d{docs_per_host}l{links_per_doc}"
         "s{seed}.parquet".format(**_CRAWL_FIXTURE),
     )
     if not os.path.exists(path):
         fx = generate(**_CRAWL_FIXTURE)
-        sim = simulate(fx.doc_map(), fx.seeds, fx.robots_map(), PolitenessConfig())
+        sim = simulate(fx.doc_map(), fx.seeds, fx.robots_map(), _CRAWL_CFG)
         # exact engine fetch_log schema (plans/crawl.py empty_log)
         i32 = ("round", "directive", "precedence", "fetch_status", "cost")
         i64 = ("now_ms", "ordinal", "politeness_delay_ms")
         cols = [
             "round", "now_ms", "class_key", "url", "canon_url", "ordinal",
             "directive", "precedence", "fetch_status", "disposition", "cost",
-            "politeness_delay_ms", "hops_path", "via",
+            "politeness_delay_ms", "hops_path", "via", "source",
         ]
         schema = pa.schema(
             [
@@ -1334,6 +1351,111 @@ def _crawl_rounds_oracle() -> str:
 
 QUERIES["crawl_rounds"] = q_crawl_rounds
 ORACLE_SQL["crawl_rounds"] = _crawl_rounds_oracle()
+
+
+# --------------------------- 22a. seeds report + source-tag host tally
+#
+# Both report rows read the SAME memoized fixture crawl as crawl_rounds
+# (one crawl per process, like the reference's single StatisticsTracker
+# feeding every report writer). Their oracles are computed by DuckDB SQL
+# over the simulator's INDEPENDENT fetch log, so each row cross-checks
+# the crawl (incl. heritable source propagation) AND the report law.
+
+
+def _fixture_redirects_path() -> str:
+    """Export the fixture's (doc_id → redirect Location) map — the
+    docs-table half of SeedRecord.fillWith :108-118 — once per machine."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from heritrix_spark.fixtures.gen import generate
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "hx_crawl_redirects_h{hosts}d{docs_per_host}l{links_per_doc}"
+        "s{seed}.parquet".format(**_CRAWL_FIXTURE),
+    )
+    if not os.path.exists(path):
+        fx = generate(**_CRAWL_FIXTURE)
+        rows = [
+            {"doc_id": doc_id, "redirect": spans[0]["media_ref"]}
+            for doc_id, spans in fx.doc_map().items()
+            if spans and spans[0]["kind"] == "redirect"
+        ]
+        schema = pa.schema([("doc_id", pa.string()), ("redirect", pa.string())])
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_seeds_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "[code] [status] [seed] [redirect]" seeds report
+    (SeedsReport.java:38-70, SeedRecord most-recent-processing law) over
+    the fixture crawl's fetch log."""
+    from heritrix_spark.fixtures.gen import generate
+    from heritrix_spark.operators.reports import seeds_report
+
+    fx = generate(**_CRAWL_FIXTURE)
+    docs = spark.createDataFrame(
+        [(d, s) for d, s in fx.doc_map().items()],
+        schema="doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    return seeds_report(_fixture_crawl_log(spark), docs)
+
+
+def _seeds_report_oracle() -> str:
+    log = "'" + _ORACLE_LOG_PATH + "'"
+    red = "'" + _fixture_redirects_path() + "'"
+    return f"""
+with seed_rows as (
+  select *, row_number() over (partition by canon_url order by round desc) as rn
+  from read_parquet({log}) where hops_path = ''
+)
+select fetch_status as status_code,
+       case when fetch_status > 0 then 'CRAWLED' else 'NOTCRAWLED' end as status,
+       url as seed,
+       disposition,
+       case when fetch_status in (301, 302) then r.redirect end as redirect
+from seed_rows s left join read_parquet({red}) r on s.canon_url = r.doc_id
+where rn = 1
+order by status_code desc, seed asc
+"""
+
+
+def q_source_host_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "[source] [host] [#urls]" source report
+    (SourceTagsReport.java:35-65; StatisticsTracker.saveSourceStats
+    :765-780 tallies successful fetches per (seed source tag, host)) —
+    pins the heritable source-tag propagation through every hop kind."""
+    from heritrix_spark.operators.reports import source_tags_report
+
+    return source_tags_report(_fixture_crawl_log(spark))
+
+
+def _source_host_tally_oracle() -> str:
+    return f"""
+select source,
+       regexp_extract(canon_url, '^\\w+://([^/:]+)', 1) as host,
+       cast(count(*) as bigint) as n_urls
+from read_parquet('{_ORACLE_LOG_PATH}')
+where disposition = 'success' and source is not null
+group by 1, 2
+order by source asc, n_urls desc, host asc
+"""
+
+
+_ORACLE_LOG_PATH: str  # assigned below from the crawl_rounds exporter
+_ORACLE_LOG_PATH = ORACLE_SQL["crawl_rounds"].split("'")[1]
+
+QUERIES["seeds_report"] = q_seeds_report
+ORACLE_SQL["seeds_report"] = _seeds_report_oracle()
+QUERIES["source_host_tally"] = q_source_host_tally
+ORACLE_SQL["source_host_tally"] = _source_host_tally_oracle()
 
 
 # ------------------------------------------- 22b. span outlink extraction
@@ -3943,5 +4065,69 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, F.col("source"), F.col("doc_id"), _MIX_WEIGHTS, _MIX_TOTAL_N
         )
         .select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------- line-level dedup (C4)
+
+# multi-line corpus derived from `documents` (SQL ∩ dialect subset):
+# a per-doc unique line, a corpus-wide boilerplate line, a bucket-shared
+# promo line (~N/17 repeats → always removed), and a long-tail line
+# whose count straddles the min_count=3 threshold at small sf —
+# exercising both sides of the boundary deterministically.
+_LINE_AUG = (
+    "'u' || cast(doc_id as string) || ' ' || substr(text, 1, 40) || chr(10) || "
+    "'subscribe to our newsletter' || chr(10) || "
+    "'promo block ' || cast(doc_id % 17 as string) || chr(10) || "
+    "'rare line ' || cast(doc_id % 211 as string)"
+)
+
+
+def _line_dedup_oracle() -> str:
+    return f"""
+with aug as (select doc_id, {_LINE_AUG} as text from documents),
+lines as (
+  select doc_id,
+         unnest(string_split(text, chr(10))) as line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) as pos
+  from aug
+),
+freq as (select line from lines group by line having count(*) >= 3),
+kept as (select l.* from lines l anti join freq f using (line)),
+rebuilt as (
+  select doc_id, string_agg(line, chr(10) order by pos) as clean_text,
+         count(*) as n_kept
+  from kept group by doc_id
+)
+select cast(a.doc_id as bigint) as doc_id,
+       coalesce(r.clean_text, '') as clean_text,
+       cast(len(string_split(a.text, chr(10))) - coalesce(r.n_kept, 0) as int)
+         as n_removed
+from aug a left join rebuilt r using (doc_id)
+order by doc_id
+"""
+
+
+@register("line_dedup", _line_dedup_oracle())
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide duplicate-line removal (Raffel et al. 2020
+    §2.2 at line granularity, as in RefinedWeb §3.3): any line occurring
+    >= 3 times across the corpus is stripped from every document.  Line
+    counting shuffles only md5 hashes (map-side combined); line text
+    moves once, in the per-document reassembly."""
+    from heritrix_spark.pipeline.linededup import line_dedup
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    aug = spark.sql(f"select doc_id, {_LINE_AUG} as text from documents")
+    return (
+        line_dedup(aug, min_count=3)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "clean_text",
+            "n_removed",
+        )
         .orderBy("doc_id")
     )

@@ -49,6 +49,7 @@ def extract_outlinks(
     ordinal_col: str = "ordinal",
     suppress_trap_pattern: str | None = None,
     meta_robots_col: str | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """fetched(url, ordinal, fetch_status, hops_path, spans, ...) →
     links(via=url, parent_ordinal, target, hop_char, link_seq).
@@ -67,13 +68,18 @@ def extract_outlinks(
     obeyMetaRobotsNofollow law (ExtractorHTML.java:894-906: the robots
     meta ends extraction for its page; the tag lives in <head>, so
     page-level suppression is the whole-document effect).
+
+    ``carry_cols`` names parent-row columns replicated onto every
+    outlink row — the CrawlURI "heritable data" channel
+    (CrawlURI.makeHeritable: e.g. the A_SOURCE_TAG seed attribution
+    flows from parent to child on link creation).
     """
-    # The whole expression set is static given the four parameters —
+    # The whole expression set is static given the parameters —
     # built once per crawl, reused every round (functions/colcache.py).
     X = cached(
         ("extract_outlinks", max_outlinks, url_col, ordinal_col,
-         suppress_trap_pattern),
-        lambda: _extract_exprs(max_outlinks, url_col, ordinal_col),
+         suppress_trap_pattern, carry_cols),
+        lambda: _extract_exprs(max_outlinks, url_col, ordinal_col, carry_cols),
     )
     eligible = fetched.filter(X["eligible"])
     if suppress_trap_pattern is not None:
@@ -97,17 +103,24 @@ def extract_outlinks(
     return capped
 
 
-def _extract_exprs(max_outlinks: int, url_col: str, ordinal_col: str) -> dict:
+def _extract_exprs(
+    max_outlinks: int,
+    url_col: str,
+    ordinal_col: str,
+    carry_cols: tuple[str, ...] = (),
+) -> dict:
     """Static Column trees for :func:`extract_outlinks` (cache payload)."""
     eligible = (
         (F.col("fetch_status") >= 200)
         & (F.col("fetch_status") < 400)
         & F.col("spans").isNotNull()
     )
+    carried = tuple(F.col(c) for c in carry_cols)
     spans_sel = (
         F.col(url_col).alias("via"),
         F.col(ordinal_col).alias("parent_ordinal"),
         F.col("hops_path").alias("via_hops_path"),
+        *carried,
         F.posexplode("spans").alias("span_pos", "span"),
     )
 
@@ -162,6 +175,7 @@ def _extract_exprs(max_outlinks: int, url_col: str, ordinal_col: str) -> dict:
         F.col("via"),
         F.col("parent_ordinal"),
         F.col("via_hops_path"),
+        *carried,
         F.col("span_pos"),
         F.posexplode("links").alias("link_pos", "link"),
     )
@@ -169,6 +183,7 @@ def _extract_exprs(max_outlinks: int, url_col: str, ordinal_col: str) -> dict:
         F.col("via"),
         F.col("parent_ordinal"),
         F.col("via_hops_path"),
+        *carried,
         (F.col("span_pos").cast("long") * F.lit(1 << 20) + F.col("link_pos")).alias(
             "link_seq"
         ),

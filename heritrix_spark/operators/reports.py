@@ -44,12 +44,87 @@ def response_code_report(fetch_log: DataFrame) -> DataFrame:
     )
 
 
-def seeds_report(fetch_log: DataFrame) -> DataFrame:
-    """Disposition of every seed (SeedsReport analog: hops_path = '')."""
+def seeds_report(fetch_log: DataFrame, docs: DataFrame | None = None) -> DataFrame:
+    """The "[code] [status] [seed] [redirect]" seeds report
+    (engine/.../reporting/SeedsReport.java:38-70 over SeedRecord):
+
+    - one row per seed (hops_path = ''), reflecting its MOST-RECENT
+      processing (SeedRecord.updateWith — recrawled seeds report their
+      latest fetch);
+    - status = CRAWLED iff status code > 0 (SeedsReport.java:53-58);
+    - redirect = the Location target when the latest status is 301/302
+      (SeedRecord.fillWith :108-118 reads the "location:" out-candidate;
+      here the docs table's redirect span, independent of whether the
+      target was scheduled). Null without ``docs`` or for non-redirects.
+
+    Report order = status code descending (SeedRecord.sortShiftStatusCode
+    :149-151), then seed. One shuffle on the seed key; the docs join is
+    an equi-join on the seed's canon key only (seeds ≪ docs).
+    """
+    seeds = fetch_log.filter(F.col("hops_path") == "")
+    latest = (
+        seeds.groupBy("canon_url")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("round"),
+                    F.col("fetch_status").alias("status_code"),
+                    F.col("disposition"),
+                    F.col("url").alias("seed"),
+                )
+            ).alias("__last")
+        )
+        .select(
+            F.col("__last.status_code").alias("status_code"),
+            F.when(F.col("__last.status_code") > 0, F.lit("CRAWLED"))
+            .otherwise(F.lit("NOTCRAWLED"))
+            .alias("status"),
+            F.col("__last.seed").alias("seed"),
+            F.col("__last.disposition").alias("disposition"),
+            F.col("canon_url"),
+        )
+    )
+    if docs is not None:
+        redirect = docs.select(
+            F.col("doc_id"),
+            F.when(
+                F.element_at(F.col("spans"), 1)["kind"] == F.lit("redirect"),
+                F.element_at(F.col("spans"), 1)["media_ref"],
+            ).alias("__redirect"),
+        )
+        latest = latest.join(
+            redirect, on=latest["canon_url"] == redirect["doc_id"], how="left"
+        ).drop("doc_id")
+        redirect_col = F.when(
+            F.col("status_code").isin(301, 302), F.col("__redirect")
+        )
+    else:
+        redirect_col = F.lit(None).cast("string")
     return (
-        fetch_log.filter(F.col("hops_path") == "")
-        .select("canon_url", "fetch_status", "disposition", "round")
-        .orderBy("canon_url")
+        latest.withColumn("redirect", redirect_col)
+        .select("status_code", "status", "seed", "disposition", "redirect")
+        .orderBy(F.desc("status_code"), F.asc("seed"))
+    )
+
+
+def source_tags_report(fetch_log: DataFrame) -> DataFrame:
+    """The "[source] [host] [#urls]" source report
+    (engine/.../reporting/SourceTagsReport.java:35-65): per source tag,
+    hosts by successful-fetch count descending. Tallies follow
+    StatisticsTracker.crawledURISuccessful :765-769 — only successful
+    crawls count, host = the crawled URI's hostname (not its queue key).
+
+    One hash aggregate on (source, host); map-side partial combine makes
+    this O(distinct pairs) over the shuffle at any log size.
+    """
+    host = F.regexp_extract(F.col("canon_url"), r"^\w+://([^/:]+)", 1)
+    return (
+        fetch_log.filter(
+            (F.col("disposition") == "success") & F.col("source").isNotNull()
+        )
+        .groupBy(F.col("source"), host.alias("host"))
+        .agg(F.count("*").cast("long").alias("n_urls"))
+        .orderBy(F.asc("source"), F.desc("n_urls"), F.asc("host"))
     )
 
 

@@ -159,6 +159,9 @@ class PendingUri:
     attempts: int = 0
     deferrals: int = 0
     recrawls: int = 0
+    # heritable seed-of-origin tag (SeedModule.sourceTagSeeds;
+    # CrawlURI.setSourceTag :1503-1505 makeHeritable)
+    source: str | None = None
 
 
 @dataclass
@@ -289,6 +292,8 @@ def simulate(
         pu = PendingUri(
             url=s["url"], canon_url=canon, class_key=ck, directive=NORMAL,
             precedence=1, ordinal=max_ordinal, cost=1, hops_path="", via=None,
+            # TextSeedModule.announceSeeds :181 — the seed's own URI string
+            source=s["url"] if cfg.source_tag_seeds else None,
         )
         queues.setdefault(ck, []).append(pu)
         hosts.setdefault(ck, HostState())
@@ -424,7 +429,7 @@ def simulate(
                     continue
                 all_candidates.append(
                     (uri.ordinal, link_seq, canonicalize_py(raw), raw, child_hops,
-                     uri.canon_url, False, None)
+                     uri.canon_url, False, None, uri.source)
                 )
             if deferred:
                 # markPrerequisite :1875-1896: force-schedule robots.txt,
@@ -436,7 +441,8 @@ def simulate(
                 if _in_scope(robots_url, child_hops, prefixes, cfg):
                     all_candidates.append(
                         (uri.ordinal, -1, canonicalize_py(robots_url), robots_url,
-                         child_hops, uri.canon_url, True, max(uri.directive - 1, 0))
+                         child_hops, uri.canon_url, True, max(uri.directive - 1, 0),
+                         uri.source)
                     )
                 else:
                     res.out_of_scope += 1
@@ -510,6 +516,7 @@ def simulate(
                     "politeness_delay_ms": delay,
                     "hops_path": uri.hops_path,
                     "via": uri.via,
+                    "source": uri.source,
                 }
             )
 
@@ -522,7 +529,7 @@ def simulate(
         batch_seen: set[str] = set()
         for (
             parent_ordinal, link_seq, canon, raw, child_hops, via,
-            force, directive_override,
+            force, directive_override, source,
         ) in all_candidates:
             if canon in batch_seen:
                 res.dup_dropped += 1
@@ -542,7 +549,7 @@ def simulate(
             pu = PendingUri(
                 url=raw, canon_url=canon, class_key=ck, directive=directive,
                 precedence=1, ordinal=max_ordinal, cost=1,
-                hops_path=child_hops, via=via,
+                hops_path=child_hops, via=via, source=source,
             )
             queues.setdefault(ck, []).append(pu)
             # new hosts join the back of the inactive line this round

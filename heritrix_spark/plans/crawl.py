@@ -176,7 +176,8 @@ def crawl(
             schema="round int, now_ms long, class_key string, url string, "
             "canon_url string, ordinal long, directive int, precedence int, "
             "fetch_status int, disposition string, cost int, "
-            "politeness_delay_ms long, hops_path string, via string",
+            "politeness_delay_ms long, hops_path string, via string, "
+            "source string",
         )
         store.write_delta(empty_log, "fetch_log", 0)
         store.commit_round(

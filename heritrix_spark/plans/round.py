@@ -71,6 +71,11 @@ FRONTIER_COLUMNS = [
     "attempts",
     "deferrals",
     "recrawls",
+    # seed-of-origin attribution (SeedModule.sourceTagSeeds,
+    # modules/.../seeds/SeedModule.java:40-46): heritable — every child
+    # candidate copies its parent's value (CrawlURI.setSourceTag
+    # :1503-1505 makeHeritable). Null when cfg.source_tag_seeds is off.
+    "source",
 ]
 
 HOST_STATE_SCHEMA = T.StructType(
@@ -205,6 +210,11 @@ def schedule_seeds(
         F.lit(0).cast("int").alias("attempts"),
         F.lit(0).cast("int").alias("deferrals"),
         F.lit(0).cast("int").alias("recrawls"),
+        # a seed's source tag is its own URI string (TextSeedModule
+        # .announceSeeds :181, curi.setSourceTag(curi.toString()))
+        (
+            F.col("url") if cfg.source_tag_seeds else F.lit(None).cast("string")
+        ).alias("source"),
         # round this row version was appended in — the positional-delete
         # key half; see RoundResult.emitted_ordinals
         F.lit(0).cast("int").alias("delta_round"),
@@ -446,6 +456,7 @@ def _build_round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) ->
         extend_hops_path_col(F.col("via_hops_path"), F.col("hop_char")).alias(
             "hops_path"
         ),
+        F.col("source"),  # heritable seed attribution (makeHeritable)
     )
     if cfg.robots_prereq:
         E["prereq_sel"] = (
@@ -457,6 +468,7 @@ def _build_round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) ->
             F.lit(-1).cast("long").alias("link_seq"),
             F.col("canon_url").alias("via"),
             extend_hops_path_col(F.col("hops_path"), F.lit("P")).alias("hops_path"),
+            F.col("source"),  # prerequisites inherit heritable data too
             F.greatest(F.col("directive") - 1, F.lit(0))
             .cast("int")
             .alias("__directive_override"),
@@ -495,6 +507,7 @@ def _build_round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) ->
         F.lit(0).cast("int").alias("attempts"),
         F.lit(0).cast("int").alias("deferrals"),
         F.lit(0).cast("int").alias("recrawls"),
+        F.col("source"),
     )
     E["retry_attempts"] = F.when(
         F.col("fetch_status") == S_DEFERRED, F.col("attempts")
@@ -628,6 +641,7 @@ def _build_round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) ->
         ),
         F.col("hops_path"),
         F.col("via"),
+        F.col("source"),
     )
     E["lineage_tag_disp"] = (
         F.when(F.col("disposition") == "success", F.lit("Fs"))
@@ -780,7 +794,10 @@ def run_round(
         else fetched
     )
     links = extract_outlinks(
-        extractable, max_outlinks=cfg.max_outlinks, url_col="canon_url"
+        extractable,
+        max_outlinks=cfg.max_outlinks,
+        url_col="canon_url",
+        carry_cols=("source",),
     )
     cands = links.select(*E["cands_sel"])
     if cfg.robots_prereq:
@@ -885,6 +902,7 @@ def run_round(
             F.lit(0).cast("int").alias("attempts"),  # resetForRescheduling :1816
             F.lit(0).cast("int").alias("deferrals"),
             (F.col("recrawls") + 1).cast("int").alias("recrawls"),
+            F.col("source"),
             (F.lit(now) + F.lit(cfg.recrawl_interval_ms)).cast("long").alias(
                 "reschedule_time"
             ),

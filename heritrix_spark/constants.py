@@ -134,6 +134,19 @@ class PolitenessConfig:
     # the host's robots directives gate fetches. The robots URI itself is
     # exempt from robots preclusion and from outlink extraction.
     robots_prereq: bool = False
+    # Seeds-redirect-new-seeds (CandidatesProcessor.java:86-99,183-199 +
+    # checkForSeedPromotion :218-237; reference default TRUE): a
+    # candidate discovered from a seed via a REFER ('R') hop with hop
+    # count < 5 (SEEDS_REDIRECT_NEW_SEEDS_MAX_HOPS :100) is itself
+    # promoted to a seed — its schedulingDirective bumps NORMAL→MEDIUM,
+    # it is force-fetched past the seen set ("guarantee crawling of
+    # seed version ... even if same url has already been enqueued",
+    # HER-1891), and its implied-domain SURT prefix joins the crawl
+    # scope (SeedListener.addedSeed → SurtPrefixedDecideRule :236-240),
+    # effective from the NEXT round under round discretization. Off by
+    # default here so fixtures without redirecting seeds are unaffected;
+    # the law itself matches the reference's default-on behavior.
+    seeds_redirect_new_seeds: bool = False
     # Seed source-tag attribution (SeedModule.sourceTagSeeds,
     # modules/.../seeds/SeedModule.java:40-46; TextSeedModule.java:181
     # sets the seed's own URI string as its tag): every discovered URI

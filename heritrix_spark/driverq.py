@@ -1256,13 +1256,18 @@ def q_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------- 22. full crawl rounds
 
-_CRAWL_FIXTURE = dict(hosts=4, docs_per_host=4, links_per_doc=3, seed=7)
+_CRAWL_FIXTURE = dict(
+    hosts=4, docs_per_host=4, links_per_doc=3, seed=7, seed_redirect=True
+)
 
 
 # the fixture crawl runs with seed source-tagging ON so the fetch log
 # carries the heritable seed-of-origin column the report rows tally
-# (SeedModule.sourceTagSeeds; SeedsReport / SourceTagsReport)
-_CRAWL_CFG = PolitenessConfig(source_tag_seeds=True)
+# (SeedModule.sourceTagSeeds; SeedsReport / SourceTagsReport), and with
+# seedsRedirectNewSeeds ON (the reference's default) so the fixture's
+# redirecting seed promotes its target and dynamically widens the scope
+# (CandidatesProcessor :183-199) — both pinned by the oracle hash.
+_CRAWL_CFG = PolitenessConfig(source_tag_seeds=True, seeds_redirect_new_seeds=True)
 _CRAWL_CACHE: dict = {}
 
 
@@ -1317,7 +1322,7 @@ def _crawl_rounds_oracle() -> str:
 
     path = os.path.join(
         tempfile.gettempdir(),
-        "hx_crawl_rounds_oracle_src_h{hosts}d{docs_per_host}l{links_per_doc}"
+        "hx_crawl_rounds_oracle_srs_h{hosts}d{docs_per_host}l{links_per_doc}"
         "s{seed}.parquet".format(**_CRAWL_FIXTURE),
     )
     if not os.path.exists(path):
@@ -1326,14 +1331,21 @@ def _crawl_rounds_oracle() -> str:
         # exact engine fetch_log schema (plans/crawl.py empty_log)
         i32 = ("round", "directive", "precedence", "fetch_status", "cost")
         i64 = ("now_ms", "ordinal", "politeness_delay_ms")
+        boolean = ("is_seed",)
         cols = [
             "round", "now_ms", "class_key", "url", "canon_url", "ordinal",
             "directive", "precedence", "fetch_status", "disposition", "cost",
-            "politeness_delay_ms", "hops_path", "via", "source",
+            "politeness_delay_ms", "hops_path", "via", "source", "is_seed",
         ]
         schema = pa.schema(
             [
-                (c, pa.int32() if c in i32 else pa.int64() if c in i64 else pa.string())
+                (
+                    c,
+                    pa.int32() if c in i32
+                    else pa.int64() if c in i64
+                    else pa.bool_() if c in boolean
+                    else pa.string(),
+                )
                 for c in cols
             ]
         )
@@ -1375,7 +1387,7 @@ def _fixture_redirects_path() -> str:
 
     path = os.path.join(
         tempfile.gettempdir(),
-        "hx_crawl_redirects_h{hosts}d{docs_per_host}l{links_per_doc}"
+        "hx_crawl_redirects_srs_h{hosts}d{docs_per_host}l{links_per_doc}"
         "s{seed}.parquet".format(**_CRAWL_FIXTURE),
     )
     if not os.path.exists(path):
@@ -1414,7 +1426,7 @@ def _seeds_report_oracle() -> str:
     return f"""
 with seed_rows as (
   select *, row_number() over (partition by canon_url order by round desc) as rn
-  from read_parquet({log}) where hops_path = ''
+  from read_parquet({log}) where is_seed
 )
 select fetch_status as status_code,
        case when fetch_status > 0 then 'CRAWLED' else 'NOTCRAWLED' end as status,
@@ -4129,5 +4141,88 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_text",
             "n_removed",
         )
+        .orderBy("doc_id")
+    )
+
+
+# ----------------------------------------------- Gopher quality rules
+
+# plant line structure, bullets, symbol runs and ellipses so every rule
+# fires on both sides of its threshold (the raw fixture text is a
+# single line of plain words)
+_GQ_AUG = (
+    "text || chr(10) || "
+    "case when doc_id % 4 = 0 then '# # # # # # # #' "
+    "else 'the data and that to be of have with more words here' end "
+    "|| chr(10) || '- bullet item ' || cast(doc_id % 5 as string) "
+    "|| case when doc_id % 6 = 0 then ' ...' else '' end "
+    "|| chr(10) || 'closing line' "
+    "|| case when doc_id % 3 = 0 then '...' else '' end"
+)
+
+_GQ_STOPS = "['the','be','to','of','and','that','have','with']"
+
+
+def _gopher_quality_oracle() -> str:
+    return f"""
+with aug as (select doc_id, {_GQ_AUG} as text from documents),
+t as (select doc_id, text,
+  list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') as toks,
+  string_split(text, chr(10)) as lines
+  from aug),
+s as (select doc_id,
+  cast(len(toks) as int) as n_words,
+  cast(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) as int)
+    as word_chars,
+  cast(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) as int)
+    as n_alpha_words,
+  cast((length(text) - length(replace(text, '#', '')))
+       + (length(text) - length(replace(text, '...', ''))) / 3 as int)
+    as n_symbols,
+  cast(len(list_filter({_GQ_STOPS}, sw -> list_contains(toks, sw))) as int)
+    as n_stop_hits,
+  cast(len(lines) as int) as n_lines,
+  cast(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-•*]'))) as int)
+    as n_bullet_lines,
+  cast(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) as int)
+    as n_ellipsis_lines
+  from t)
+select cast(doc_id as bigint) as doc_id,
+  n_words, word_chars, n_alpha_words, n_symbols, n_stop_hits,
+  n_lines, n_bullet_lines, n_ellipsis_lines,
+  (n_words >= 50 and n_words <= 100000) as pass_word_count,
+  (word_chars >= 3 * n_words and word_chars <= 10 * n_words)
+    as pass_mean_word_len,
+  (10 * n_symbols <= n_words) as pass_symbol_ratio,
+  (5 * n_alpha_words >= 4 * n_words) as pass_alpha_words,
+  (n_stop_hits >= 2) as pass_stop_words,
+  (10 * n_bullet_lines <= 9 * n_lines) as pass_bullet_lines,
+  (10 * n_ellipsis_lines <= 3 * n_lines) as pass_ellipsis_lines,
+  ((n_words >= 50 and n_words <= 100000)
+   and (word_chars >= 3 * n_words and word_chars <= 10 * n_words)
+   and (10 * n_symbols <= n_words)
+   and (5 * n_alpha_words >= 4 * n_words)
+   and (n_stop_hits >= 2)
+   and (10 * n_bullet_lines <= 9 * n_lines)
+   and (10 * n_ellipsis_lines <= 3 * n_lines)) as pass_gopher
+from s order by doc_id
+"""
+
+
+@register("gopher_quality", _gopher_quality_oracle())
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule outcomes (Rae et al. 2021 Appendix A):
+    word-count bounds, mean word length, symbol-to-word ratio, alpha-word
+    fraction, stop-word floor, bullet/ellipsis line fractions — all as
+    exact-integer comparisons, fully row-local codegen (no shuffle)."""
+    from heritrix_spark.pipeline.textstats import gopher_quality_signals
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    aug = spark.sql(f"select doc_id, {_GQ_AUG} as text from documents")
+    return (
+        gopher_quality_signals(aug)
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
         .orderBy("doc_id")
     )

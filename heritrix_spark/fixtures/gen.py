@@ -59,6 +59,7 @@ def generate(
     links_per_doc: int = 4,
     hot_host_factor: int = 4,
     seed: int = 42,
+    seed_redirect: bool = False,
 ) -> CrawlFixture:
     rng = random.Random(seed)
     fx = CrawlFixture()
@@ -188,6 +189,66 @@ def generate(
     if hosts > 4:
         seed_urls.append(f"http://{host_names[4]}/cgi-bin/denied.html")
     fx.seeds = [{"url": u, "seq": i} for i, u in enumerate(seed_urls)]
+
+    if seed_redirect:
+        # seedsRedirectNewSeeds exercise (CandidatesProcessor :183-199):
+        # a SEED that 301s to a page on an otherwise-unseeded host.
+        # Without promotion, transclusion admits the redirect target
+        # itself (trailing 'R') but its 'RL' children stay out of scope;
+        # with promotion the target's prefix joins the scope and the
+        # whole redirtarget.example subtree crawls. Appended after the
+        # rng-driven section with NO rng draws, so every other fixture
+        # byte is unchanged.
+        rt = "redirtarget.example"
+        fx.docs.append(
+            {
+                "doc_id": canonicalize_py(f"http://{rt}/t0.html"),
+                "spans": [
+                    {
+                        "kind": "text",
+                        "text": f"landing page http://{rt}/t1.html tail",
+                        "media_ref": None,
+                        "offset": 0,
+                    }
+                ],
+            }
+        )
+        fx.docs.append(
+            {
+                "doc_id": canonicalize_py(f"http://{rt}/t1.html"),
+                "spans": [
+                    {
+                        "kind": "text",
+                        "text": f"deep page http://{rt}/t0.html loop",
+                        "media_ref": None,
+                        "offset": 0,
+                    }
+                ],
+            }
+        )
+        seedr = f"http://{host_names[0]}/seedr.html"
+        fx.docs.append(
+            {
+                "doc_id": canonicalize_py(seedr),
+                "spans": [
+                    {
+                        "kind": "redirect",
+                        "text": None,
+                        "media_ref": f"http://{rt}/t0.html",
+                        "offset": 0,
+                    }
+                ],
+            }
+        )
+        fx.seeds.append({"url": seedr, "seq": len(fx.seeds)})
+        fx.robots.append(
+            {
+                "class_key": _class_key(rt),
+                "allows": [],
+                "disallows": [],
+                "crawl_delay": -1.0,
+            }
+        )
 
     # robots (FIXTURES.md §3 variety)
     for i, h in enumerate(host_names):

@@ -60,8 +60,19 @@ def seeds_report(fetch_log: DataFrame, docs: DataFrame | None = None) -> DataFra
     Report order = status code descending (SeedRecord.sortShiftStatusCode
     :149-151), then seed. One shuffle on the seed key; the docs join is
     an equi-join on the seed's canon key only (seeds ≪ docs).
+
+    Seed rows are identified by the ``is_seed`` flag (present on every
+    engine fetch log), which covers redirect-PROMOTED discovered seeds
+    too (checkForSeedPromotion — they enter processedSeedsRecords like
+    scheduled seeds); logs without the column fall back to the
+    hops_path = '' identification of scheduled seeds.
     """
-    seeds = fetch_log.filter(F.col("hops_path") == "")
+    seed_cond = (
+        F.col("is_seed")
+        if "is_seed" in fetch_log.columns
+        else F.col("hops_path") == ""
+    )
+    seeds = fetch_log.filter(seed_cond)
     latest = (
         seeds.groupBy("canon_url")
         .agg(

@@ -162,6 +162,9 @@ class PendingUri:
     # heritable seed-of-origin tag (SeedModule.sourceTagSeeds;
     # CrawlURI.setSourceTag :1503-1505 makeHeritable)
     source: str | None = None
+    # CrawlURI.isSeed — scheduled seeds and redirect-promoted seeds
+    # (CandidatesProcessor.checkForSeedPromotion :218-237)
+    is_seed: bool = False
 
 
 @dataclass
@@ -294,6 +297,7 @@ def simulate(
             precedence=1, ordinal=max_ordinal, cost=1, hops_path="", via=None,
             # TextSeedModule.announceSeeds :181 — the seed's own URI string
             source=s["url"] if cfg.source_tag_seeds else None,
+            is_seed=True,
         )
         queues.setdefault(ck, []).append(pu)
         hosts.setdefault(ck, HostState())
@@ -427,9 +431,17 @@ def simulate(
                 if not _in_scope(raw, child_hops, prefixes, cfg):
                     res.out_of_scope += 1
                     continue
+                # seed promotion (CandidatesProcessor :183-188): a seed's
+                # REFER child under 5 hops is itself a seed
+                promoted = (
+                    cfg.seeds_redirect_new_seeds
+                    and uri.is_seed
+                    and hop == "R"
+                    and hop_count_py(child_hops) < 5
+                )
                 all_candidates.append(
                     (uri.ordinal, link_seq, canonicalize_py(raw), raw, child_hops,
-                     uri.canon_url, False, None, uri.source)
+                     uri.canon_url, promoted, None, uri.source, promoted)
                 )
             if deferred:
                 # markPrerequisite :1875-1896: force-schedule robots.txt,
@@ -442,7 +454,7 @@ def simulate(
                     all_candidates.append(
                         (uri.ordinal, -1, canonicalize_py(robots_url), robots_url,
                          child_hops, uri.canon_url, True, max(uri.directive - 1, 0),
-                         uri.source)
+                         uri.source, False)
                     )
                 else:
                     res.out_of_scope += 1
@@ -517,6 +529,7 @@ def simulate(
                     "hops_path": uri.hops_path,
                     "via": uri.via,
                     "source": uri.source,
+                    "is_seed": uri.is_seed,
                 }
             )
 
@@ -527,9 +540,10 @@ def simulate(
         # anti-join (addForce) while still marking the key seen
         all_candidates.sort(key=lambda c: (c[0], c[1], c[2]))
         batch_seen: set[str] = set()
+        new_seed_urls: list[str] = []
         for (
             parent_ordinal, link_seq, canon, raw, child_hops, via,
-            force, directive_override, source,
+            force, directive_override, source, is_seed,
         ) in all_candidates:
             if canon in batch_seen:
                 res.dup_dropped += 1
@@ -545,14 +559,24 @@ def simulate(
                 directive = directive_override
             else:
                 directive = MEDIUM if 0 < th <= cfg.preference_embed_hops else NORMAL
+                if is_seed and directive == NORMAL:
+                    # promoted seeds get rapid scheduling
+                    # (checkForSeedPromotion :230-233)
+                    directive = MEDIUM
             max_ordinal += 1
             pu = PendingUri(
                 url=raw, canon_url=canon, class_key=ck, directive=directive,
                 precedence=1, ordinal=max_ordinal, cost=1,
-                hops_path=child_hops, via=via, source=source,
+                hops_path=child_hops, via=via, source=source, is_seed=is_seed,
             )
             queues.setdefault(ck, []).append(pu)
             # new hosts join the back of the inactive line this round
             hosts.setdefault(ck, HostState(wake_time=0, activation_seq=round_no))
+            if is_seed:
+                new_seed_urls.append(raw)
+        if new_seed_urls:
+            # scope widens from the NEXT round (round-discretized
+            # SeedListener.addedSeed → SurtPrefixedDecideRule :236-240)
+            prefixes = sorted(set(prefixes) | set(seed_scope_prefixes(new_seed_urls)))
 
     return res

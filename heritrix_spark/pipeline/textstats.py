@@ -124,3 +124,85 @@ def token_topk(docs, k: int = 100, text_col: str = "text"):
         .orderBy(F.desc("term_freq"), F.asc("token"))
         .limit(k)
     )
+
+
+# ------------------------------------------------- Gopher quality rules
+
+# the 8 "stop words" of Gopher's quality filter (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Appendix A Table A1): a page
+# must contain at least 2 of them
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_signals(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document Gopher quality-filter signals + rule outcomes
+    (Rae et al. 2021 Appendix A; the same rule set DataTrove/Dolma
+    reimplement as `GopherQualityFilter`).
+
+    Every output is an exact integer or a boolean derived from integer
+    comparisons — no float ratios, so engine and oracle agree bit-for-
+    bit (e.g. mean word length in [3,10] is tested as
+    ``3·n_words <= word_chars <= 10·n_words``).
+
+    Entirely row-local codegen'd expressions: zero shuffles, zero
+    Python — at 100 TB this pipelines into the parquet scan.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    word_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    hash_count = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ellipsis_count = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    ).cast("int")
+    n_symbols = (hash_count + ellipsis_count).cast("int")
+    n_stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+            lambda sw: F.array_contains(toks, sw),
+        )
+    )
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_bullet_lines = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-•*]")))
+    n_ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+
+    sel = docs.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        word_chars.cast("int").alias("word_chars"),
+        n_alpha_words.cast("int").alias("n_alpha_words"),
+        n_symbols.alias("n_symbols"),
+        n_stop_hits.cast("int").alias("n_stop_hits"),
+        n_lines.cast("int").alias("n_lines"),
+        n_bullet_lines.cast("int").alias("n_bullet_lines"),
+        n_ellipsis_lines.cast("int").alias("n_ellipsis_lines"),
+    )
+    w = F.col("n_words")
+    checks = {
+        # 50 <= word count <= 100,000
+        "pass_word_count": (w >= 50) & (w <= 100_000),
+        # mean word length in [3, 10]
+        "pass_mean_word_len": (F.col("word_chars") >= 3 * w)
+        & (F.col("word_chars") <= 10 * w),
+        # symbol-to-word ratio ('#' or '...') <= 0.1
+        "pass_symbol_ratio": 10 * F.col("n_symbols") <= w,
+        # >= 80% of words contain an alphabetic character
+        "pass_alpha_words": 5 * F.col("n_alpha_words") >= 4 * w,
+        # >= 2 of the 8 stop words present
+        "pass_stop_words": F.col("n_stop_hits") >= 2,
+        # <= 90% of lines start with a bullet
+        "pass_bullet_lines": 10 * F.col("n_bullet_lines") <= 9 * F.col("n_lines"),
+        # <= 30% of lines end with an ellipsis
+        "pass_ellipsis_lines": 10 * F.col("n_ellipsis_lines")
+        <= 3 * F.col("n_lines"),
+    }
+    out = sel
+    all_pass = F.lit(True)
+    for name, cond in checks.items():
+        out = out.withColumn(name, cond)
+        all_pass = all_pass & cond
+    return out.withColumn("pass_gopher", all_pass)

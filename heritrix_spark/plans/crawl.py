@@ -177,7 +177,7 @@ def crawl(
             "canon_url string, ordinal long, directive int, precedence int, "
             "fetch_status int, disposition string, cost int, "
             "politeness_delay_ms long, hops_path string, via string, "
-            "source string",
+            "source string, is_seed boolean",
         )
         store.write_delta(empty_log, "fetch_log", 0)
         store.commit_round(
@@ -190,6 +190,12 @@ def crawl(
     now_ms = manifest["meta"]["now_ms"]
     max_ordinal = manifest["meta"]["max_ordinal"]
     metrics_log = list(manifest["meta"].get("metrics_log", []))
+    # scope prefixes added by redirect-promoted seeds
+    # (SeedListener.addedSeed → SurtPrefixedDecideRule :236-240), carried
+    # in the manifest so a resumed crawl scopes identically
+    extra_prefixes = set(manifest["meta"].get("extra_seed_prefixes", []))
+    base_prefixes = set(prefixes)
+    prefixes = sorted(base_prefixes | extra_prefixes)
 
     while round_no < max_rounds:
         if stop_after_round is not None and round_no >= stop_after_round:
@@ -309,6 +315,26 @@ def crawl(
             for f in [pool.submit(w) for w in writes]:
                 f.result()  # propagate the first failure
         now_ms, max_ordinal = result.now_ms, result.max_ordinal
+        if cfg.seeds_redirect_new_seeds:
+            # redirect-promoted seeds widen the scope from the NEXT
+            # round (the round-discretized SeedListener.addedSeed).
+            # novel is persisted inside run_round, so this is a tiny
+            # post-write probe over this round's delta only.
+            from heritrix_spark.oracle.simulator import seed_scope_prefixes
+
+            promoted = (
+                result.frontier_delta.filter(
+                    F.col("is_seed") & (F.col("hops_path") != "")
+                )
+                .select("url")
+                .distinct()
+                .collect()
+            )
+            if promoted:
+                new = set(seed_scope_prefixes([r["url"] for r in promoted]))
+                if not new <= (base_prefixes | extra_prefixes):
+                    extra_prefixes |= new
+                    prefixes = sorted(base_prefixes | extra_prefixes)
         # a re-run round after a crash replaces its own metrics entry
         metrics_log = [m for m in metrics_log if m["round"] < round_no]
         metrics_log.append(round_metrics)
@@ -318,6 +344,7 @@ def crawl(
                 "now_ms": now_ms,
                 "max_ordinal": max_ordinal,
                 "metrics_log": metrics_log,
+                "extra_seed_prefixes": sorted(extra_prefixes),
             },
         )
         spark.catalog.clearCache()  # state is re-read from parquet next round

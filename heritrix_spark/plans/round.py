@@ -76,6 +76,10 @@ FRONTIER_COLUMNS = [
     # candidate copies its parent's value (CrawlURI.setSourceTag
     # :1503-1505 makeHeritable). Null when cfg.source_tag_seeds is off.
     "source",
+    # CrawlURI.isSeed: true for scheduled seeds AND redirect-promoted
+    # discovered seeds (CandidatesProcessor.checkForSeedPromotion
+    # :218-237 under cfg.seeds_redirect_new_seeds)
+    "is_seed",
 ]
 
 HOST_STATE_SCHEMA = T.StructType(
@@ -215,6 +219,7 @@ def schedule_seeds(
         (
             F.col("url") if cfg.source_tag_seeds else F.lit(None).cast("string")
         ).alias("source"),
+        F.lit(True).alias("is_seed"),
         # round this row version was appended in — the positional-delete
         # key half; see RoundResult.emitted_ordinals
         F.lit(0).cast("int").alias("delta_round"),
@@ -448,15 +453,27 @@ def _build_round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) ->
     )
 
     # ---- candidates
+    child_hops = extend_hops_path_col(F.col("via_hops_path"), F.col("hop_char"))
+    if cfg.seeds_redirect_new_seeds:
+        # seed promotion (CandidatesProcessor :183-188): a seed's REFER
+        # child under 5 hops is itself a seed
+        from heritrix_spark.functions.hops import hop_count_col
+
+        promoted = (
+            F.col("is_seed")
+            & (F.col("hop_char") == "R")
+            & (hop_count_col(child_hops) < F.lit(5))
+        )
+    else:
+        promoted = F.lit(False)
     E["cands_sel"] = (
         F.col("target").alias("url"),
         F.col("parent_ordinal"),
         F.col("link_seq"),
         F.col("via"),
-        extend_hops_path_col(F.col("via_hops_path"), F.col("hop_char")).alias(
-            "hops_path"
-        ),
+        child_hops.alias("hops_path"),
         F.col("source"),  # heritable seed attribution (makeHeritable)
+        promoted.alias("is_seed"),
     )
     if cfg.robots_prereq:
         E["prereq_sel"] = (
@@ -469,6 +486,7 @@ def _build_round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) ->
             F.col("canon_url").alias("via"),
             extend_hops_path_col(F.col("hops_path"), F.lit("P")).alias("hops_path"),
             F.col("source"),  # prerequisites inherit heritable data too
+            F.lit(False).alias("is_seed"),
             F.greatest(F.col("directive") - 1, F.lit(0))
             .cast("int")
             .alias("__directive_override"),
@@ -485,6 +503,14 @@ def _build_round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) ->
     directive_plain = scheduling_directive_col(
         F.col("hops_path"), F.lit(NORMAL).cast("int"), cfg
     )
+    if cfg.seeds_redirect_new_seeds:
+        # promoted seeds need rapid scheduling: NORMAL → MEDIUM
+        # (checkForSeedPromotion :230-233)
+        from heritrix_spark.constants import MEDIUM
+
+        directive_plain = F.when(
+            F.col("is_seed") & (directive_plain == F.lit(NORMAL)), F.lit(MEDIUM)
+        ).otherwise(directive_plain)
     E["directive_col"] = (
         F.coalesce(F.col("__directive_override"), directive_plain)
         if cfg.robots_prereq
@@ -508,6 +534,7 @@ def _build_round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) ->
         F.lit(0).cast("int").alias("deferrals"),
         F.lit(0).cast("int").alias("recrawls"),
         F.col("source"),
+        F.col("is_seed"),
     )
     E["retry_attempts"] = F.when(
         F.col("fetch_status") == S_DEFERRED, F.col("attempts")
@@ -642,6 +669,7 @@ def _build_round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) ->
         F.col("hops_path"),
         F.col("via"),
         F.col("source"),
+        F.col("is_seed"),
     )
     E["lineage_tag_disp"] = (
         F.when(F.col("disposition") == "success", F.lit("Fs"))
@@ -797,7 +825,7 @@ def run_round(
         extractable,
         max_outlinks=cfg.max_outlinks,
         url_col="canon_url",
-        carry_cols=("source",),
+        carry_cols=("source", "is_seed"),
     )
     cands = links.select(*E["cands_sel"])
     if cfg.robots_prereq:
@@ -813,6 +841,13 @@ def run_round(
         cands = cands.withColumn(
             "__directive_override", F.lit(None).cast("int")
         ).withColumn("force_fetch", F.lit(False)).unionByName(prereq_cands)
+    if cfg.seeds_redirect_new_seeds:
+        # promoted seeds force-fetch past the seen set (HER-1891,
+        # CandidatesProcessor :190-198 setForceFetch before addSeed)
+        base_force = (
+            F.col("force_fetch") if cfg.robots_prereq else F.lit(False)
+        )
+        cands = cands.withColumn("force_fetch", base_force | F.col("is_seed"))
     cands = cands.withColumn("__prep", E["prep_col"])
     cands = cands.filter(E["scope_filter"])
     cands = (
@@ -903,6 +938,7 @@ def run_round(
             F.lit(0).cast("int").alias("deferrals"),
             (F.col("recrawls") + 1).cast("int").alias("recrawls"),
             F.col("source"),
+            F.col("is_seed"),
             (F.lit(now) + F.lit(cfg.recrawl_interval_ms)).cast("long").alias(
                 "reschedule_time"
             ),
@@ -1000,7 +1036,7 @@ def run_round(
 
     # ---- outputs: seen delta, fetch log, lineage, metrics
     url_seen_delta = novel.select("canon_url", E["seen_shard"])
-    if cfg.robots_prereq:
+    if cfg.robots_prereq or cfg.seeds_redirect_new_seeds:
         # forced (addForce) rows may already be members; keep the seen
         # table duplicate-free (the delta is small — one anti-join probe)
         url_seen_delta = url_seen_delta.join(

@@ -4226,3 +4226,242 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.col("doc_id").cast("long"))
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------- content extractors (CSS / JS / XML)
+
+from heritrix_spark.operators.content_extract import (  # noqa: E402
+    AUDIO_VIDEO_IMAGE_MIMETYPES as _CEX_MIMES,
+    TLDS as _CEX_TLDS,
+)
+
+# Planted per-doc corpora: pure literals + doc_id, identical text built
+# by both Spark SQL and DuckDB (quotes/backslashes via chr() so neither
+# dialect's string-literal escaping is involved). The raw fixture text
+# is NOT used — extraction laws are exercised on controlled content so
+# the RE2 oracle twin is exact (the engine keeps the reference's Java
+# patterns, which RE2 cannot express verbatim: backreferences in
+# ExtractorCSS/ExtractorJS, closing-delimiter reuse in ExtractorJS —
+# tests/test_content_extract.py pins those edge laws against the
+# reference's own test vectors).
+
+_CSS_AUG = (
+    "'body { background: url(\"http://img.example/a' || cast(doc_id as string) || '.png\") } ' "
+    "|| '@import url(style' || cast(doc_id % 7 as string) || '.css); ' "
+    "|| case when doc_id % 3 = 0 then "
+    "'div { cursor: url(' || chr(39) || 'http://cdn.example/b' || cast(doc_id as string) || '.gif' || chr(39) || ') } ' "
+    "else '' end "
+    "|| case when doc_id % 4 = 0 then "
+    "'@import \"imp' || cast(doc_id as string) || '.css\"; span { mask: url( sprites/s' || cast(doc_id as string) || '.png ) } ' "
+    "else '' end "
+    "|| case when doc_id % 5 = 0 then "
+    "'a { b: url(esc' || chr(92) || ' m' || chr(92) || ',' || cast(doc_id as string) || '.css) } "
+    "li { c: url(x&ampz' || cast(doc_id as string) || '.css) } ' "
+    "else '' end "
+    "|| 'p { d: url(\"  http://pad.example/sp' || cast(doc_id as string) || '.css  \") }'"
+)
+
+# RE2 twin of ExtractorCSS.CSS_URI_EXTRACTOR: the Java original uses a
+# backreference for the optional quote; the twin expands the three
+# quote cases as alternation branches (mutually exclusive on the first
+# content character), preserving match order. Single quotes doubled for
+# SQL embedding.
+_CSS_PAT_DUCK = (
+    '(?i)(?:@import (?:url\\(|)|url\\()\\s*'
+    '(?:"([^"\'\'][^"]*?)"|\'\'([^"\'\'][^\'\']*?)\'\'|([^"\'\'\\s);][^);]*?))\\s*[);]'
+)
+
+
+def _css_extract_oracle() -> str:
+    p = _CSS_PAT_DUCK
+    return f"""
+with aug as (select doc_id, {_CSS_AUG} as css from documents),
+m as (select doc_id, list_transform(
+    list_zip(regexp_extract_all(css, '{p}', 1),
+             regexp_extract_all(css, '{p}', 2),
+             regexp_extract_all(css, '{p}', 3)),
+    x -> regexp_replace(regexp_replace(coalesce(x[1], x[2], x[3]),
+                                       '&amp', '&', 'g'),
+                        '\\\\([,''"()\\s])', '\\1', 'g')) as us from aug)
+select cast(doc_id as bigint) as doc_id,
+       cast(unnest(range(len(us))) as int) as seq,
+       unnest(us) as uri
+from m order by doc_id, seq
+"""
+
+
+@register("css_extract", _css_extract_oracle())
+def q_css_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractorCSS url()/@import URI mining (ExtractorCSS.java:69-80,
+    121-150) over planted per-doc stylesheet text: the reference's Java
+    pattern verbatim (Spark's JVM regex dialect), CSS backslash-escape
+    unescape, literal &amp fixup. Pure Catalyst row-local projection —
+    no shuffle, no Python."""
+    from heritrix_spark.operators.content_extract import css_uris
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    aug = spark.sql(f"select doc_id, {_CSS_AUG} as css from documents")
+    return (
+        aug.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.posexplode(css_uris(F.col("css"))).alias("seq", "uri"),
+        )
+        .withColumn("seq", F.col("seq").cast("int"))
+        .orderBy("doc_id", "seq")
+    )
+
+
+_JS_AUG = (
+    "'var a = \"//cdn.example/lib' || cast(doc_id as string) || '.js\"; ' "
+    "|| 'load(' || chr(39) || 'www.h' || cast(doc_id % 9 as string) || '.example.com/app.js' || chr(39) || '); ' "
+    "|| 'fetch(\"http%3A%2F%2Fapi.example%2Fv' || cast(doc_id % 3 as string) || '\"); ' "
+    "|| 'x = \"text/html\"; y = \"5.25\"; z = \"img' || cast(doc_id as string) || '.png\"; ' "
+    "|| case when doc_id % 6 = 0 then 'u = \"a.example/p?q=1&amp;r=2\"; ' else '' end "
+    "|| 'end()'"
+)
+
+# RE2 twin of ExtractorJS.JAVASCRIPT_STRING_EXTRACTOR for the planted
+# corpus (no backslash-quoted delimiters, no adjacent strings — the
+# closing-delimiter-reuse and recursion laws are pinned in pytest).
+_JS_PAT_DUCK = '"([^\\s"]*?)"|\'\'([^\\s\'\']*?)\'\''
+
+_MIME_IN = ", ".join("'%s'" % m for m in _CEX_MIMES)
+_TLD_IN = ", ".join("'%s'" % t for t in _CEX_TLDS)
+
+
+def _likely_sql(v: str) -> str:
+    """UriUtils.isLikelyUri (:92-100,245-290) as a DuckDB predicate —
+    the same lookbehind-free decomposition the engine Column uses."""
+    return (
+        f"regexp_matches({v}, '^[^<>\\s]*[./][^<>\\s]*$') "
+        f"and not regexp_matches({v}, '\\.$') "
+        f"and not regexp_matches({v}, '^(?:text|application)/[^/]+$') "
+        f"and {v} not in ({_MIME_IN}) "
+        f"and not regexp_matches({v}, '^\\d+\\.\\d+$') "
+        f"and not regexp_matches({v}, '[$()''\"\\[\\]{{}}|]') "
+        f"and not ({v} like '+%' or {v} like '%+')"
+    )
+
+
+def _fixup_sql(v: str) -> str:
+    """UriUtils.speculativeFixup (:296-337) twin: &amp; unescape,
+    percent-decode of encoded-scheme strings (the planted corpus uses
+    %3A/%2F only, so a replace chain equals the engine's url_decode),
+    http:// prefix for dotted-domain strings ending in a TLD."""
+    u2 = f"replace({v}, '&amp;', '&')"
+    u3 = (
+        f"case when regexp_matches({u2}, '(?i)^https?%3a') "
+        f"then replace(replace({u2}, '%3A', ':'), '%2F', '/') "
+        f"else {u2} end"
+    )
+    dd = "'^[^./:\\s%]+\\.[^/:\\s%]+\\.([^./:\\s%]+)(/.*|)$'"
+    return (
+        f"case when regexp_matches({u3}, {dd}) "
+        f"and lower(regexp_extract({u3}, {dd}, 1)) in ({_TLD_IN}) "
+        f"then 'http://' || {u3} else {u3} end"
+    )
+
+
+def _js_extract_oracle() -> str:
+    p = _JS_PAT_DUCK
+    return f"""
+with aug as (select doc_id, {_JS_AUG} as js from documents),
+m as (select doc_id, list_transform(
+    list_zip(regexp_extract_all(js, '{p}', 1),
+             regexp_extract_all(js, '{p}', 2)),
+    x -> coalesce(x[1], x[2])) as ss from aug),
+e as (select doc_id, unnest(ss) as s,
+             cast(unnest(range(len(ss))) as int) as pos from m),
+f as (select doc_id, pos, {_fixup_sql('s')} as uri from e
+      where {_likely_sql('s')})
+select cast(doc_id as bigint) as doc_id,
+       cast(row_number() over (partition by doc_id order by pos) - 1 as int)
+         as seq,
+       uri
+from f order by doc_id, seq
+"""
+
+
+@register("js_extract", _js_extract_oracle())
+def q_js_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractorJS speculative-link mining (ExtractorJS.java:68-73,
+    152-193 + UriUtils.isLikelyUri/speculativeFixup) over planted
+    per-doc script text: quoted whitespace-free strings, likely-URI
+    filter, JS unescape + speculative fixup. The scan loop's
+    overlapping matches are inexpressible in regexp_extract_all, so
+    this is the one Arrow-batched pandas-UDF kernel (vectorized, text
+    column only — the sanctioned slow path)."""
+    from heritrix_spark.operators.content_extract import js_string_uris
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    aug = spark.sql(f"select doc_id, {_JS_AUG} as js from documents")
+    return (
+        aug.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.posexplode(js_string_uris(F.col("js"))).alias("seq", "uri"),
+        )
+        .withColumn("seq", F.col("seq").cast("int"))
+        .orderBy("doc_id", "seq")
+    )
+
+
+_XML_AUG = (
+    "'<?xml version=\"1.0\"?><rss><channel><link>http://feed.example/d' || cast(doc_id as string) || '</link>' "
+    "|| '<enclosure url=\"http://media.example/ep' || cast(doc_id % 11 as string) || '.mp3\" type=\"audio/mpeg\"/>' "
+    "|| '<author>user' || cast(doc_id as string) || '@mail.example</author>' "
+    "|| '<guid>tag' || cast(doc_id as string) || '.item/' || cast(doc_id as string) || '</guid>' "
+    "|| case when doc_id % 2 = 0 then "
+    "'<page>http://www.example.org/p?x=' || cast(doc_id as string) || '&amp;y=2</page>' else '' end "
+    "|| '</channel></rss>'"
+)
+
+
+def _xml_extract_oracle() -> str:
+    return f"""
+with aug as (select doc_id, {_XML_AUG} as xml from documents),
+m as (select doc_id, list_transform(
+    regexp_extract_all(xml, '["''>]\\s*([^<>\\s''"@]+)\\s*["''<]', 1),
+    x -> replace(replace(replace(replace(replace(x,
+         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         '&apos;', ''''), '&amp;', '&')) as us from aug),
+e as (select doc_id, unnest(us) as u,
+             cast(unnest(range(len(us))) as int) as pos from m)
+select cast(doc_id as bigint) as doc_id,
+       cast(row_number() over (partition by doc_id order by pos) - 1 as int)
+         as seq,
+       u as uri
+from e where {_likely_sql('u')}
+order by doc_id, seq
+"""
+
+
+@register("xml_extract", _xml_extract_oracle())
+def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractorXML URI mining (ExtractorXML.java:57-58,148-166) over
+    planted per-doc RSS-ish text: delimiter-bounded candidates, XML
+    entity unescape, UriUtils.isLikelyUri filter (no fixup — the
+    reference adds XML candidates as-is). The find loop consumes whole
+    matches, so non-overlapping regexp_extract_all is exact on both
+    engines. Pure Catalyst, row-local."""
+    from heritrix_spark.operators.content_extract import (
+        is_likely_uri,
+        xml_candidates,
+    )
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    aug = spark.sql(f"select doc_id, {_XML_AUG} as xml from documents")
+    kept = F.filter(xml_candidates(F.col("xml")), lambda u: is_likely_uri(u))
+    return (
+        aug.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.posexplode(kept).alias("seq", "uri"),
+        )
+        .withColumn("seq", F.col("seq").cast("int"))
+        .orderBy("doc_id", "seq")
+    )

@@ -4465,3 +4465,62 @@ def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("seq", F.col("seq").cast("int"))
         .orderBy("doc_id", "seq")
     )
+
+
+_URI_AUG = (
+    "case when doc_id % 5 = 0 then "
+    "'http://noq.example/page' || cast(doc_id as string) "
+    "when doc_id % 4 = 0 then "
+    "'http://go.example/r?http://direct.example/d' || cast(doc_id as string) "
+    "else "
+    "'http://site.example/redir?u=http%3A%2F%2Ftarget.example%2Fp' || cast(doc_id as string) "
+    "|| case when doc_id % 3 = 0 then "
+    "'&v=https%3A%2F%2Fsec.example%2Fq' || cast(doc_id % 7 as string) "
+    "else '&w=plain&x=1' end "
+    "end"
+)
+
+
+def _uri_extract_oracle() -> str:
+    return f"""
+with aug as (select doc_id, {_URI_AUG} as url from documents),
+q as (select doc_id, regexp_extract(url, '^[^?#]*\\?([^#]*)', 1) as rq
+      from aug),
+c as (select doc_id, list_filter(list_concat(
+    [replace(replace(rq, '%3A', ':'), '%2F', '/')],
+    list_transform(string_split(rq, '&'),
+      p -> case when len(string_split(p, '=')) = 2
+           then replace(replace(string_split(p, '=')[2], '%3A', ':'),
+                        '%2F', '/')
+           else null end)),
+    u -> u is not null and regexp_matches(u, '^https?://[^\\s<>]*$')) as us
+  from q)
+select cast(doc_id as bigint) as doc_id,
+       cast(unnest(range(len(us))) as int) as seq,
+       unnest(us) as uri
+from c order by doc_id, seq
+"""
+
+
+@register("uri_extract", _uri_extract_oracle())
+def q_uri_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractorURI query-string URI mining (ExtractorURI.java:56,
+    126-168): the whole decoded query when it is itself an absolute
+    http(s) URI, plus each key=value parameter whose decoded value is —
+    SPECULATIVE hops in the reference. Pure Catalyst over planted
+    per-doc URLs (the percent-escapes planted are %3A/%2F only so the
+    oracle's replace-chain decode equals the engine's url_decode)."""
+    from heritrix_spark.operators.content_extract import query_string_uris
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    aug = spark.sql(f"select doc_id, {_URI_AUG} as url from documents")
+    return (
+        aug.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.posexplode(query_string_uris(F.col("url"))).alias("seq", "uri"),
+        )
+        .withColumn("seq", F.col("seq").cast("int"))
+        .orderBy("doc_id", "seq")
+    )

@@ -96,20 +96,46 @@ FP_DECIMAL = r"\d+\.\d+"
 FP_UNUSUAL_CHARS = r"[$()'\"\[\]{}|]"
 
 #: UriUtils.AUDIO_VIDEO_IMAGE_MIMETYPES (:102-236) — exact-string
-#: rejection list (a representative embed of the reference's constant;
-#: matching is exact equality, so any candidate not in the list is
-#: unaffected).
+#: rejection list, embedded in full (spec-constant replication; the
+#: reference's own UriUtilsTest mimetype vectors require exact
+#: membership, e.g. audio/x-pn-realaudio-plugin).
 AUDIO_VIDEO_IMAGE_MIMETYPES = (
-    "audio/aiff", "audio/basic", "audio/midi", "audio/mp3", "audio/mp4",
-    "audio/mpeg", "audio/ogg", "audio/wav", "audio/x-aiff", "audio/x-m4a",
-    "audio/x-mp3", "audio/x-mpeg", "audio/x-ms-wma", "audio/x-realaudio",
-    "audio/x-wav", "image/bitmap", "image/bmp", "image/gif", "image/ico",
-    "image/icon", "image/jp2", "image/jpeg", "image/jpg", "image/pjpeg",
-    "image/png", "image/svg+xml", "image/tiff", "image/vnd.microsoft.icon",
-    "image/x-bitmap", "image/x-bmp", "image/x-icon", "image/x-png",
-    "video/3gpp", "video/avi", "video/flv", "video/m4v", "video/mp4",
-    "video/mpeg", "video/ogg", "video/quicktime", "video/webm", "video/wmv",
-    "video/x-flv", "video/x-ms-asf", "video/x-ms-wmv", "video/x-msvideo",
+    "audio/aiff", "audio/asf", "audio/basic", "audio/m4a", "audio/mid",
+    "audio/midi", "audio/mp3", "audio/mp4", "audio/mp4a-latm",
+    "audio/mpeg", "audio/mpeg3", "audio/mpegurl", "audio/mpg", "audio/ogg",
+    "audio/playlist", "audio/unknown", "audio/vnd.qcelp",
+    "audio/vnd.rn-realaudio", "audio/wav", "audio/x-aiff", "audio/x-m4a",
+    "audio/x-midi", "audio/x-mp3", "audio/x-mpeg", "audio/x-mpeg3",
+    "audio/x-mpegurl", "audio/x-ms-wax", "audio/x-ms-wma",
+    "audio/x-ms-wmv", "audio/x-pn-realaudio",
+    "audio/x-pn-realaudio-plugin", "audio/x-realaudio", "audio/x-scpls",
+    "audio/x-wav", "image/bitmap", "image/bmp", "image/BMP", "image/cur",
+    "image/fits", "image/gif", "image/GIF", "image/ico", "image/icon",
+    "image/jp2", "image/jpeg", "image/JPEG", "image/jpeg-cmyk",
+    "image/jpg", "image/JPG", "image/pdf", "image/pict", "image/pjpeg",
+    "image/png", "image/PNG", "image/svg+xml", "image/tiff",
+    "image/vnd.adobe.photoshop", "image/vnd.djvu", "image/vnd.dwg",
+    "image/vnd.dxf", "image/vnd.microsoft.icon", "image/vnd.ms-modi",
+    "image/vnd.ms-photo", "image/vnd.wap.wbmp", "image/x-bitmap",
+    "image/x-bmp", "image/x-citrix-pjpeg", "image/x-dcraw", "image/x-djvu",
+    "image/x.djvu", "image/x-emf", "image/x-eps", "image/x-guffaw",
+    "image/x-ico", "image/xicon", "image/x-icon", "image/x-jg",
+    "image/x-ms-bmp", "image/x-MS-bmp", "image/x-pcx", "image/x-photoshop",
+    "image/x-pict", "image/x-png", "image/x-portable-anymap",
+    "image/x-portable-bitmap", "image/x-portable-graymap",
+    "image/x-portable-pixmap", "image/x-psd", "image/x-quicktime",
+    "image/x-rgb", "image/x-windows-bmp", "image/x-wmf", "image/x-xbitmap",
+    "image/x-xbm", "image/x-xfig", "image/x-xpixmap", "video/3gpp",
+    "video/asx", "video/avi", "video/f4v", "video/flv", "video/m4v",
+    "video/mp4", "video/MP4", "video/mp4v-es", "video/mpeg", "video/mpeg3",
+    "video/mpeg4", "video/mpg4", "video/msvideo", "video/ogg",
+    "video/quicktime", "video/swf", "video/unknown",
+    "video/vnd.objectvideo", "video/webm", "video/wmv", "video/x-dv",
+    "video/x-flv", "video/x-m4v", "video/x-mp4", "video/x-mpeg",
+    "video/x-ms-asf", "video/x-ms-asx", "video/x-msvideo", "video/x-ms-wm",
+    "video/x-ms-wma", "video/x-ms-wmv", "video/x-ms-wmx", "video/x-ms-wvx",
+    "video/x-pn-realaudio", "video/x-pn-realvideo", "video/x-sgi-movie",
+    "video/x-swf",
 )
 
 #: speculativeFixup's dotted-domain detector (UriUtils.java:317-320)
@@ -345,3 +371,56 @@ def resolve_relative_py(base: str, ref: str) -> str:
     from urllib.parse import urljoin
 
     return urljoin(base, ref)
+
+
+# ------------------------------------------------ query-string URI mining
+
+#: ExtractorURI.java:56 — absolute http(s) URI full-match test
+ABS_HTTP_URI_PATTERN = r"^https?://[^\s<>]*$"
+
+
+def query_string_uris(url: Column) -> Column:
+    """ExtractorURI.extractQueryStringLinks (ExtractorURI.java:126-168):
+    URIs embedded in a discovered URI's own query string, added as
+    SPECULATIVE hops. Two probes, in order: (1) the whole percent-decoded
+    query, when it full-matches an absolute http(s) URI; (2) each
+    ``key=value`` parameter (exactly one ``=``) whose decoded value
+    full-matches. Pure Catalyst — decode via ``try_url_decode`` (the
+    LaxURLCodec analog; undecodable values drop out like the
+    reference's DecoderException continue)."""
+    decode = getattr(F, "try_url_decode", F.url_decode)
+    raw_q = F.regexp_extract(url, r"^[^?#]*\?([^#]*)", 1)
+    full = decode(raw_q)
+    full_hits = F.filter(
+        F.array(full), lambda c: c.isNotNull() & c.rlike(ABS_HTTP_URI_PATTERN)
+    )
+    kvs = F.transform(F.split(raw_q, "&"), lambda p: F.split(p, "="))
+    param_hits = F.filter(
+        F.transform(
+            kvs,
+            lambda kv: F.when(F.size(kv) == 2, decode(F.element_at(kv, 2))),
+        ),
+        lambda c: c.isNotNull() & c.rlike(ABS_HTTP_URI_PATTERN),
+    )
+    return F.concat(full_hits, param_hits)
+
+
+def query_string_uris_py(url: str) -> List[str]:
+    """Python twin of :func:`query_string_uris` for tests."""
+    from urllib.parse import unquote_plus
+
+    m = re.match(r"^[^?#]*\?([^#]*)", url)
+    if m is None:
+        return []
+    raw_q = m.group(1)
+    out: List[str] = []
+    full = unquote_plus(raw_q)
+    if re.fullmatch(ABS_HTTP_URI_PATTERN[1:-1], full):
+        out.append(full)
+    for param in raw_q.split("&"):
+        kv = param.split("=")
+        if len(kv) == 2:
+            cand = unquote_plus(kv[1])
+            if re.fullmatch(ABS_HTTP_URI_PATTERN[1:-1], cand):
+                out.append(cand)
+    return out

@@ -245,3 +245,116 @@ def test_resolve_relative_vs_urljoin(spark):
     ).collect()
     for row in got:
         assert row.r == urljoin(row.base, row.ref), (row.base, row.ref)
+
+
+# ---------------------------------------------------- UriUtilsTest goldens
+
+# Re-derived from UriUtilsTest.java (commons/src/main/java/org/archive/
+# util/UriUtilsTest.java): urisRelativeImages / urisAbsolute /
+# urisRelative / urisPathAbsoluteImages expect isLikelyUri == True;
+# notUrisNaiveFalsePositives / notUrisNaive /
+# unusualCharacterFalsePositives / mimetypesFalsePositives /
+# startsOrEndsWithPlusFalsePositives expect False.
+URIUTILS_LIKELY = [
+    "photo.jpg", "./photo.jpg", "../photo.jpg", "images/photo.jpg",
+    "../../images/photo.jpg",
+    "/photo.jpg", "/images/photo.jpg",
+    "http://example.com", "http://example.com/", "http://www.example.com",
+    "http://www.example.com/", "http://www.example.com/about",
+    "http://www.example.com/about/",
+    "http://www.example.com/about/index.html", "https://example.com",
+    "https://example.com/", "https://www.example.com",
+    "https://www.example.com/", "https://www.example.com/about",
+    "https://www.example.com/about/",
+    "https://www.example.com/about/index.html",
+    "ftp://example.com/public/report.pdf",
+    "http://a.example.com/combiner/c?js=analytics/sOmni.js,"
+    "analytics/analytics.js,analytics/zf.js,analytics/externalnielsen.js",
+    "http://l.example.com/jn/util/anysize/74*74c-86400,"
+    "http%3A%2F%2Fl.example.com%2Fa%2Fi%2Fus%2Fshine%2Fmoreon%2F"
+    "74.upallnight.jpg",
+    "default.asp?type=1",
+    "\\/add\\/page?.crumb=O2.eArRHJUUWRkVHN6L0Y.&frompg=p1",
+    "/wiki/Ficheiro:Wikiversity-logo.svg",
+    "cssp!gelui-1/overlay",
+    "/wiki/%E0%B4%B8%E0%B4%B9%E0%B4%BE%E0%B4%AF%E0%B4%82:To_Read_in_Malayalam",
+    "/wiki/Wikiversity:Why_create_an_account%3F",
+    ";s.channel=d.channel?d.channel:",
+]
+
+URIUTILS_NOT_LIKELY = [
+    "0.99", "3.14157", "text/javascript",
+    "foo bar", "<script>foo=bar</script>", "item\t$0.99\tred",
+    "),f=document.getElementsByTagName(",
+    "window.location.href='/'",
+    "location='http://example.com/blah/'",
+    "http://example.com/intent/user?screen_name='+p.user+'",
+    ").append(",
+    "[\\x3cb\\x3e−\\x3c/b\\x3e]",
+    'http://demo.example.net/panama.php?cgroup=ron728x90&pid="+pid+"'
+    '&uid="+uid+"&rid="+rid+"&kw=10&cx=10&bh=10',
+    "text/javascript", "text/css", "application/x-shockwave-flash",
+    "text/javaScript", "text/html", "application/x-www-form-urlencoded",
+    "text/xml", "text/plain", "application/x-mplayer2", "application/json",
+    "image/jpeg", "image/x-icon", "audio/mpeg", "image/gif", "audio/ogg",
+    "video/quicktime", "audio/x-pn-realaudio-plugin",
+    "+resp.result+",
+    ";overlay.style.width=viewport_dimensions.width+",
+    "+_ti;bb.src=",
+]
+
+
+def test_uriutils_goldens_python():
+    for s in URIUTILS_LIKELY:
+        assert is_likely_uri_py(s), s
+    for s in URIUTILS_NOT_LIKELY:
+        assert not is_likely_uri_py(s), s
+
+
+def test_uriutils_goldens_spark(spark):
+    battery = URIUTILS_LIKELY + URIUTILS_NOT_LIKELY
+    df = _one_col(spark, battery, name="u")
+    got = {r.u: r.ok for r in
+           df.select("u", is_likely_uri(F.col("u")).alias("ok")).collect()}
+    for s in URIUTILS_LIKELY:
+        assert got[s], s
+    for s in URIUTILS_NOT_LIKELY:
+        assert not got[s], s
+
+
+# ------------------------------------------------- ExtractorURI kernel
+
+from heritrix_spark.operators.content_extract import (  # noqa: E402
+    query_string_uris,
+    query_string_uris_py,
+)
+
+QS_CASES = [
+    # param value is an encoded absolute URI
+    ("http://site.example/redir?u=http%3A%2F%2Ftarget.example%2Fp", 
+     ["http://target.example/p"]),
+    # whole query is a bare absolute URI (no '=' params)
+    ("http://go.example/r?http://direct.example/d",
+     ["http://direct.example/d"]),
+    # mixed: non-URI params skipped, multiple URI params in order
+    ("http://x.example/?a=1&u=http%3A%2F%2Ft1.example%2F&b=plain"
+     "&v=https%3A%2F%2Ft2.example%2Fz",
+     ["http://t1.example/", "https://t2.example/z"]),
+    # no query at all
+    ("http://noq.example/page", []),
+    # param with two '=' is skipped (keyVal.length==2 law)
+    ("http://x.example/?u=http%3A%2F%2Ft.example=extra", []),
+]
+
+
+def test_query_string_uris_python_twin():
+    for url, expected in QS_CASES:
+        assert query_string_uris_py(url) == expected, url
+
+
+def test_query_string_uris_spark(spark):
+    df = _one_col(spark, [u for u, _ in QS_CASES], name="url")
+    got = {r.url: list(r.us) for r in df.select(
+        "url", query_string_uris(F.col("url")).alias("us")).collect()}
+    for url, expected in QS_CASES:
+        assert got[url] == expected, url

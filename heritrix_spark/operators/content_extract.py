@@ -424,3 +424,39 @@ def query_string_uris_py(url: str) -> List[str]:
             if re.fullmatch(ABS_HTTP_URI_PATTERN[1:-1], cand):
                 out.append(cand)
     return out
+
+
+# ------------------------------------------------- pure-Python twins
+# (used by the oracle simulator's independent crawl replay and by
+# backend-agreement tests; same laws as the Column kernels above)
+
+_CSS_RE = re.compile(CSS_URI_EXTRACTOR)
+_CSS_UNESC_RE = re.compile(CSS_BACKSLASH_ESCAPE)
+_XML_RE = re.compile(XML_URI_EXTRACTOR)
+
+
+def css_uris_py(text: str) -> List[str]:
+    """Python twin of :func:`css_uris` (ExtractorCSS.processStyleCode)."""
+    out: List[str] = []
+    for m in _CSS_RE.finditer(text):
+        u = m.group(2).replace("&amp", "&")
+        out.append(_CSS_UNESC_RE.sub(r"\1", u))
+    return out
+
+
+def unescape_xml_py(s: str) -> str:
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        s = s.replace(ent, ch)
+    return s
+
+
+def xml_uris_py(text: str) -> List[str]:
+    """Python twin of the XML mining path: candidates, unescaped,
+    filtered by the likely-URI law (ExtractorXML.processXml)."""
+    out: List[str] = []
+    for m in _XML_RE.finditer(text):
+        u = unescape_xml_py(m.group(1))
+        if is_likely_uri_py(u):
+            out.append(u)
+    return out

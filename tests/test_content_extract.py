@@ -358,3 +358,36 @@ def test_query_string_uris_spark(spark):
         "url", query_string_uris(F.col("url")).alias("us")).collect()}
     for url, expected in QS_CASES:
         assert got[url] == expected, url
+
+
+# --------------------------------------------- Column/Python twin laws
+
+from heritrix_spark.operators.content_extract import (  # noqa: E402
+    css_uris_py,
+    xml_uris_py,
+)
+
+CORPUS = [
+    "@import url(style.css); body{background:url(\"  http://a.b/i.png  \")}"
+    " url('q.css'); url(x&ampz.css);",
+    r"a { b: url(esc\ m\,7.css) }",
+    '<?xml version="1.0"?><l>http://a.b/c?x=1&amp;y=2</l>'
+    '<e url="http://m.e/x.mp3" type="audio/mpeg"/><a>u@e.com</a>',
+    "no urls here at all",
+    "",
+]
+
+
+def test_css_column_matches_python_twin(spark):
+    df = _one_col(spark, CORPUS)
+    got = df.select("text", css_uris(F.col("text")).alias("us")).collect()
+    for row in got:
+        assert list(row.us) == css_uris_py(row.text), row.text
+
+
+def test_xml_column_matches_python_twin(spark):
+    df = _one_col(spark, CORPUS)
+    kept = F.filter(xml_candidates(F.col("text")), lambda u: is_likely_uri(u))
+    got = df.select("text", kept.alias("us")).collect()
+    for row in got:
+        assert list(row.us) == xml_uris_py(row.text), row.text

@@ -4524,3 +4524,125 @@ def q_uri_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("seq", F.col("seq").cast("int"))
         .orderBy("doc_id", "seq")
     )
+
+
+# ------------------------------------------------------ ExtractorHTML
+
+_HTML_PAGE_URL = (
+    "'http://site' || cast(doc_id % 50 as string) || '.example/dir/page' "
+    "|| cast(doc_id as string) || '.html'"
+)
+
+#: Planted per-doc HTML exercising the flagship ExtractorHTML law end
+#: to end: a robots-nofollow meta on every 13th doc (aborts the whole
+#: scan), <base href> mutation, meta refresh (R), a/link/img/iframe
+#: (L/E), an inline STYLE attribute (CSS url() => =EMBED_MISC), the
+#: HER-1280 form method law (post dropped, get/absent kept), a script
+#: body with one likely-URI string and one decimal false positive
+#: (HER-1526), and a HER-1728 flashvars param.
+_HTML_AUG = (
+    "case when doc_id % 13 = 0 then "
+    "'<meta name=\"robots\" content=\"noindex,nofollow\">' else '' end "
+    "|| '<base href=\"http://base' || cast(doc_id % 7 as string) || '.example/b/\">' "
+    "|| case when doc_id % 4 = 1 then "
+    "'<meta http-equiv=\"refresh\" content=\"3;url=fresh' || cast(doc_id as string) || '.html\">' "
+    "else '' end "
+    "|| '<a href=\"p' || cast(doc_id as string) || '.html\">x</a>' "
+    "|| '<link rel=\"css\" href=\"s' || cast(doc_id % 5 as string) || '.css\">' "
+    "|| '<img src=\"i' || cast(doc_id as string) || '.png\">' "
+    "|| '<iframe src=\"f' || cast(doc_id as string) || '.html\">' "
+    "|| '<div style=\"background: url(bg' || cast(doc_id % 3 as string) || '.gif)\">' "
+    "|| case when doc_id % 3 = 0 then "
+    "'<form method=\"post\" action=\"act' || cast(doc_id as string) || '.cgi\">' "
+    "when doc_id % 3 = 1 then "
+    "'<form method=\"get\" action=\"act' || cast(doc_id as string) || '.cgi\">' "
+    "else '<form action=\"act' || cast(doc_id as string) || '.cgi\">' end "
+    "|| '<script type=\"text/javascript\">u=\"http://js' || cast(doc_id % 9 as string) "
+    "|| '.example/app.js\";v=\"5.25\";</script>' "
+    "|| '<param name=\"flashvars\" value=\"path=fv' || cast(doc_id as string) || '.xml\">'"
+)
+
+
+def _html_extract_oracle() -> str:
+    """Independent re-derivation: the twin computes the expected link
+    table straight from the generator parameters (doc_id arithmetic)
+    rather than re-parsing the HTML — every discovery-order position,
+    context string, hop char, and base-resolved destination is restated
+    from the ExtractorHTML law by hand."""
+    return """
+with d as (select doc_id,
+    'http://base' || cast(doc_id % 7 as string) || '.example/b/' as b
+  from documents where doc_id % 13 <> 0),
+r as (
+  select doc_id, 0 as ord, b as uri, 'base/@href' as context, 'L' as hop
+    from d
+  union all
+  select doc_id, 1, b || 'fresh' || cast(doc_id as string) || '.html',
+         'meta', 'R' from d where doc_id % 4 = 1
+  union all
+  select doc_id, 2, b || 'p' || cast(doc_id as string) || '.html',
+         'a/@href', 'L' from d
+  union all
+  select doc_id, 3, b || 's' || cast(doc_id % 5 as string) || '.css',
+         'link/@href', 'E' from d
+  union all
+  select doc_id, 4, b || 'i' || cast(doc_id as string) || '.png',
+         'img/@src', 'E' from d
+  union all
+  select doc_id, 5, b || 'f' || cast(doc_id as string) || '.html',
+         'iframe/@src', 'E' from d
+  union all
+  select doc_id, 6, b || 'bg' || cast(doc_id % 3 as string) || '.gif',
+         '=EMBED_MISC', 'E' from d
+  union all
+  select doc_id, 7, b || 'act' || cast(doc_id as string) || '.cgi',
+         'form/@action', 'L' from d where doc_id % 3 <> 0
+  union all
+  select doc_id, 8, 'http://js' || cast(doc_id % 9 as string)
+         || '.example/app.js', '=JS_MISC', 'X' from d
+  union all
+  select doc_id, 9, b || 'fv' || cast(doc_id as string) || '.xml',
+         'param/@value', 'X' from d)
+select cast(doc_id as bigint) as doc_id,
+       cast(row_number() over (partition by doc_id order by ord) - 1 as int)
+         as seq,
+       uri, context, hop
+from r order by doc_id, seq
+"""
+
+
+@register("html_extract", _html_extract_oracle())
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractorHTML — the reference's flagship tag-scan extractor
+    (ExtractorHTML.java:113-174 patterns, :331-533 processGeneralTag,
+    :757-816 extract, :871-921 processMeta) over planted per-doc HTML.
+    The law is a stateful sequential scan (<base> mutation, form
+    ACTION+METHOD coupling, robots-meta abort), so it runs as ONE
+    Arrow-batched pandas UDF returning the ordered outlink array —
+    row-local, no shuffle, one ArrowEvalPython stage; the DuckDB twin
+    re-derives every expected row from the generator parameters."""
+    from heritrix_spark.operators.html_extract import html_outlinks
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    aug = spark.sql(
+        f"select doc_id, {_HTML_PAGE_URL} as page_url, {_HTML_AUG} as body "
+        "from documents"
+    )
+    return (
+        aug.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.posexplode(
+                html_outlinks(F.col("page_url"), F.col("body"))
+            ).alias("seq", "lk"),
+        )
+        .select(
+            "doc_id",
+            F.col("seq").cast("int").alias("seq"),
+            F.col("lk.uri").alias("uri"),
+            F.col("lk.context").alias("context"),
+            F.col("lk.hop").alias("hop"),
+        )
+        .orderBy("doc_id", "seq")
+    )

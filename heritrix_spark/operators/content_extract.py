@@ -244,8 +244,13 @@ def speculative_fixup(c: Column) -> Column:
     ).otherwise(c)
 
 
-def speculative_fixup_py(s: str) -> str:
-    """Python twin of :func:`speculative_fixup`."""
+def speculative_fixup_py(s: str, base_host: str | None = None,
+                         base_scheme: str | None = None) -> str:
+    """Python twin of :func:`speculative_fixup`. With ``base_host``/
+    ``base_scheme`` it also applies the reference's same-host scheme
+    preservation (UriUtils.java:324-331, HER-1524): a scheme-less
+    dotted-domain candidate that starts with the discovering page's
+    host keeps that page's scheme instead of the default ``http``."""
     from urllib.parse import unquote_plus
 
     s = s.replace("&amp;", "&")
@@ -253,7 +258,10 @@ def speculative_fixup_py(s: str) -> str:
         s = unquote_plus(s)
     m = re.fullmatch(DOTTED_DOMAIN, s)
     if m and m.group(1).lower() in TLDS:
-        s = "http://" + s
+        scheme_plus = "http://"
+        if base_host and base_scheme and s.startswith(base_host):
+            scheme_plus = base_scheme + "://"
+        s = scheme_plus + s
     return s
 
 
@@ -289,18 +297,23 @@ def unescape_js_py(s: str) -> str:
     return "".join(out)
 
 
-def js_strings_py(text: str) -> List[str]:
+def js_strings_py(text: str, base_host: str | None = None,
+                  base_scheme: str | None = None) -> List[str]:
     """The ExtractorJS.considerStrings loop (:152-193), faithfully:
     scan for quoted whitespace-free strings; a likely-URI candidate is
     JS-unescaped and emitted; a non-likely candidate is recursed into;
     either way the scan resumes AT the closing delimiter
-    (``startIndex = strings.end(2)``) so it can reopen the next string."""
+    (``startIndex = strings.end(2)``) so it can reopen the next string.
+    ``base_host``/``base_scheme`` feed speculativeFixup's same-host
+    scheme preservation (the reference passes ``curi.getUURI()``)."""
     found: List[str] = []
-    _consider(text, found, 0)
+    _consider(text, found, 0, base_host, base_scheme)
     return found
 
 
-def _consider(cs: str, found: List[str], depth: int) -> None:
+def _consider(cs: str, found: List[str], depth: int,
+              base_host: str | None = None,
+              base_scheme: str | None = None) -> None:
     if depth > 8:  # the reference survives via StackOverflowError catch
         return
     start = 0
@@ -310,9 +323,10 @@ def _consider(cs: str, found: List[str], depth: int) -> None:
             return
         body = m.group(2)
         if is_likely_uri_py(body):
-            found.append(speculative_fixup_py(unescape_js_py(body)))
+            found.append(speculative_fixup_py(
+                unescape_js_py(body), base_host, base_scheme))
         else:
-            _consider(body, found, depth + 1)
+            _consider(body, found, depth + 1, base_host, base_scheme)
         start = m.end(2)
 
 

@@ -4646,3 +4646,119 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "seq")
     )
+
+
+# ------------------------------------------------------ RobotsPolicy family
+
+#: Per-doc planted policy dimension: primary UA "crawler" has a named
+#: deny-all-but-images group on every 3rd doc; candidate "allowbot" a
+#: named Disallow:/foo group on every 2nd; candidate "goodbot" a named
+#: allow-all group on every 5th; the wildcard group disallows
+#: /cgi-bin/ and /foo. Paths cycle through the four interesting cases.
+_RP_PATH = (
+    "case when doc_id % 4 = 0 then '/cgi-bin/q' || cast(doc_id as string) "
+    "when doc_id % 4 = 1 then '/foo' "
+    "when doc_id % 4 = 2 then '/images/i' || cast(doc_id as string) || '.gif' "
+    "else '/ok/page' || cast(doc_id as string) end"
+)
+
+_RP_GROUPS = (
+    "array("
+    "named_struct('agent','crawler','named', doc_id % 3 = 0, "
+    "'allows', case when doc_id % 3 = 0 then array('/images/') end, "
+    "'disallows', case when doc_id % 3 = 0 then array('/') end), "
+    "named_struct('agent','allowbot','named', doc_id % 2 = 0, "
+    "'allows', cast(null as array<string>), "
+    "'disallows', case when doc_id % 2 = 0 then array('/foo') end), "
+    "named_struct('agent','goodbot','named', doc_id % 5 = 0, "
+    "'allows', cast(null as array<string>), "
+    "'disallows', case when doc_id % 5 = 0 then array('/zzz/') end))"
+)
+
+
+def _rp_law(al: str, dis: str) -> str:
+    """RobotsDirectives.allows prefix law as DuckDB SQL over literal
+    lists ('null' for an absent group side)."""
+    return (
+        f"not (coalesce(list_max(list_transform(list_filter({dis}, "
+        f"d -> starts_with(path, d)), d -> length(d))), 0) > "
+        f"coalesce(list_max(list_transform(list_filter({al}, "
+        f"a -> starts_with(path, a)), a -> length(a))), 0))"
+    )
+
+
+def _robots_policies_oracle() -> str:
+    wc = _rp_law("null", "['/cgi-bin/','/foo']")
+    crawler = _rp_law("['/images/']", "['/']")
+    allowbot = _rp_law("null", "['/foo']")
+    goodbot = _rp_law("null", "['/zzz/']")
+    return f"""
+with p as (select doc_id, {_RP_PATH} as path from documents),
+law as (select doc_id, path,
+    doc_id % 3 = 0 as c_named, doc_id % 2 = 0 as a_named,
+    doc_id % 5 = 0 as g_named,
+    {crawler} as c_ok, {allowbot} as a_ok, {goodbot} as g_ok,
+    {wc} as w_ok from p),
+pol as (select doc_id, path,
+    case when c_named then c_ok else w_ok end as obey_allowed,
+    case when c_named then c_ok when a_named then a_ok
+         when g_named then g_ok else w_ok end as fn_allowed,
+    case when not c_named and a_named then 'allowbot'
+         when not c_named and g_named then 'goodbot' end as fn_masquerade,
+    (case when c_named then c_ok else w_ok end)
+      or (case when a_named then a_ok else w_ok end)
+      or (case when g_named then g_ok else w_ok end) as mf_allowed,
+    case when not (case when c_named then c_ok else w_ok end)
+         and (case when a_named then a_ok else w_ok end) then 'allowbot'
+         when not (case when c_named then c_ok else w_ok end)
+         and (case when g_named then g_ok else w_ok end) then 'goodbot'
+         end as mf_masquerade
+  from law)
+select cast(doc_id as bigint) as doc_id, path, obey_allowed, true as
+  ignore_allowed, fn_allowed, fn_masquerade, mf_allowed, mf_masquerade
+from pol order by doc_id
+"""
+
+
+@register("robots_policies", _robots_policies_oracle())
+def q_robots_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RobotsPolicy family (ObeyRobotsPolicy/IgnoreRobotsPolicy/
+    FirstNamedRobotsPolicy.java:60-78/MostFavoredRobotsPolicy.java:61-75)
+    as pure Column folds over a broadcast per-host agent-group
+    dimension: first-named tries the primary UA's named group, then
+    each candidate's (masquerading), then the wildcard; most-favored
+    allows if ANY agent's fallback lookup allows. The DuckDB twin
+    re-derives every decision from the generator parameters."""
+    from heritrix_spark.operators.politeness import robots_allows_col
+    from heritrix_spark.operators.robots_policy import (
+        first_named_allows_col,
+        first_named_masquerade_col,
+        most_favored_allows_col,
+        most_favored_masquerade_col,
+    )
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    aug = spark.sql(
+        f"select doc_id, {_RP_PATH} as path, {_RP_GROUPS} as groups, "
+        "cast(null as array<string>) as wc_allows, "
+        "array('/cgi-bin/','/foo') as wc_disallows from documents"
+    )
+    g, wa, wd, p = (F.col("groups"), F.col("wc_allows"),
+                    F.col("wc_disallows"), F.col("path"))
+    primary = F.element_at(g, 1)
+    obey = F.when(
+        primary["named"],
+        robots_allows_col(primary["allows"], primary["disallows"], p),
+    ).otherwise(robots_allows_col(wa, wd, p))
+    return aug.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        p.alias("path"),
+        obey.alias("obey_allowed"),
+        F.lit(True).alias("ignore_allowed"),
+        first_named_allows_col(g, wa, wd, p).alias("fn_allowed"),
+        first_named_masquerade_col(g).alias("fn_masquerade"),
+        most_favored_allows_col(g, wa, wd, p).alias("mf_allowed"),
+        most_favored_masquerade_col(g, wa, wd, p).alias("mf_masquerade"),
+    ).orderBy("doc_id")

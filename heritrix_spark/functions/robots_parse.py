@@ -35,11 +35,20 @@ class ParsedRobots:
     wildcard: Directives | None = None
     has_errors: bool = False
 
-    def directives_for(self, user_agent: str) -> Directives:
+    def directives_for(
+        self, user_agent: str, use_fallbacks: bool = True
+    ) -> Directives | None:
+        """Robotstxt.getDirectivesFor (:186-210): first named agent (in
+        declaration order) that is a substring of the lowercased UA;
+        with ``use_fallbacks`` the wildcard group (else allow-all) backs
+        a miss, without it a miss returns None (the two-arg overload
+        FirstNamedRobotsPolicy.java:62,66 relies on)."""
         ua = user_agent.lower()
         for name in self.named:
             if name in ua:
                 return self.directives[name]
+        if not use_fallbacks:
+            return None
         return self.wildcard if self.wildcard is not None else Directives()
 
 

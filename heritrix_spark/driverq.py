@@ -4762,3 +4762,52 @@ def q_robots_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         most_favored_allows_col(g, wa, wd, p).alias("mf_allowed"),
         most_favored_masquerade_col(g, wa, wd, p).alias("mf_masquerade"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------ ExtractorUniversal
+
+_UNIV_AUG = (
+    "case when doc_id % 3 = 0 then 'junk bad.com/x ' else '' end "
+    "|| 'See http://u' || cast(doc_id as string) || '.example.com/a' "
+    "|| ' and http://10.' || cast(doc_id % 200 as string) || '.0.1 end'"
+)
+
+
+def _universal_extract_oracle() -> str:
+    return """
+with d as (select doc_id from documents where doc_id % 3 <> 0),
+r as (
+  select doc_id, 0 as seq,
+         'http://u' || cast(doc_id as string) || '.example.com/a' as uri
+    from d
+  union all
+  select doc_id, 1,
+         'http://10.' || cast(doc_id % 200 as string) || '.0.1' from d)
+select cast(doc_id as bigint) as doc_id, cast(seq as int) as seq, uri
+from r order by doc_id, seq
+"""
+
+
+@register("universal_extract", _universal_extract_oracle())
+def q_universal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractorUniversal (ExtractorUniversal.java:357-446): the
+    URLable-char-run accumulator with the dot/TLD probe and
+    http(s)://IP full-match, emitting SPECULATIVE hops. Planted text
+    puts a scheme-less-but-TLD-passing token first on every 3rd doc,
+    whose URIException faithfully aborts that doc's scan (zero rows).
+    Arrow pandas UDF (sequential char-run state); the DuckDB twin
+    re-derives the surviving tokens from the generator parameters."""
+    from heritrix_spark.operators.content_extract import universal_uris
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    aug = spark.sql(f"select doc_id, {_UNIV_AUG} as body from documents")
+    return (
+        aug.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.posexplode(universal_uris(F.col("body"))).alias("seq", "uri"),
+        )
+        .withColumn("seq", F.col("seq").cast("int"))
+        .orderBy("doc_id", "seq")
+    )

@@ -474,3 +474,110 @@ def xml_uris_py(text: str) -> List[str]:
         if is_likely_uri_py(u):
             out.append(u)
     return out
+
+
+# ------------------------------------------------ ExtractorUniversal
+
+#: ExtractorUniversal.java:81-341 — the 2004-era IANA TLD alternation
+#: (each entry matches the TLD optionally followed by /...). Exact
+#: spec-constant replication; isTLD (:480-488) full-matches the first
+#: <=6 chars after a dot against this set.
+UNIVERSAL_TLDS = (
+    "ac ad ae af ag ai al am an ao aero aq ar as at au aw az ba bb bd be "
+    "bf bg bh bi biz bj bm bn bo br bs bt bv bw by bz ca cc cd cf cg ch "
+    "ci ck cl cm cn co com coop cr cs cu cv cx cy cz de dj dk dm do dz "
+    "ec edu ee eg eh er es et fi fj fk fm fo fr ga gd ge gf gg gh gi gl "
+    "gm gn gov gp gq gr gs gt gu gw gy hk hm hn hr ht hu id ie il im in "
+    "info int io iq ir is it je jm jo jp ke kg kh ki km kn kp kr kw ky "
+    "kz la lb lc li lk lr ls lt lu lv ly ma mc md mg mh mil mk ml mm mn "
+    "mo mp mq mr ms mt mu museum mv mw mx my mz na name nc ne net nf ng "
+    "ni nl no np nr nt nu nz om org pa pe pf pg ph pk pl pm pn pr pro "
+    "ps pt pw py qa re ro ru rw sa sb sc sd se sg sh si sj sk sl sm sn "
+    "so sr sv st sy sz tc td tf tg th tj tk tm tn to tp tr tt tv tw tz "
+    "ua ug uk um us uy uz va vc ve vg vi vn vu wf ws ye yt yu za zm zw"
+).split()
+
+_UNIVERSAL_TLD_RE = re.compile(
+    "^(?:" + "|".join(f"{t}(/.*)?" for t in UNIVERSAL_TLDS) + ")$",
+    re.DOTALL,
+)
+
+#: ExtractorUniversal.IP_ADDRESS (:74-75) — full-match http(s)://dotted-quad
+_UNIVERSAL_IP_RE = re.compile(
+    r"((http://)|(https://))(\d(\d)?(\d)?\.\d(\d)?(\d)?\.\d(\d)?(\d)?\.\d(\d)?(\d)?)"
+)
+
+
+def _universal_urlable(ch: str) -> bool:
+    """isURLableChar (:513-521): the strict ANSI ranges
+    35-38, 43-59, 61, 63-90, 95, 97-122, 126."""
+    o = ord(ch)
+    return (35 <= o <= 38 or 43 <= o <= 59 or o == 61
+            or 63 <= o <= 90 or o == 95 or 97 <= o <= 122 or o == 126)
+
+
+def _universal_looks_like_url(lookat: str) -> bool:
+    """looksLikeAnURL (:420-446): full-match http(s)://IP, else a
+    known TLD right after any dot (never at position 0), testing only
+    the first <=6 chars after each dot."""
+    if lookat.startswith("http://") or lookat.startswith("https://"):
+        if _UNIVERSAL_IP_RE.fullmatch(lookat):
+            return True
+    dot = lookat.find(".")
+    if dot != 0:
+        while dot != -1 and dot < len(lookat):
+            lookat = lookat[dot + 1:]
+            probe = lookat[: 6 if len(lookat) > 6 else len(lookat)]
+            if len(probe) >= 2 and _UNIVERSAL_TLD_RE.match(probe.lower()):
+                return True
+            dot = lookat.find(".")
+    return False
+
+
+def universal_uris_py(text: str, max_size: int = 1 << 20) -> List[str]:
+    """ExtractorUniversal.innerExtract (:357-410): accumulate runs of
+    URLable chars; on a break, a >3-char dotted run that looksLikeAnURL
+    is emitted (trimmed to an interior ``http`` if present, trailing
+    dots stripped). Two faithfully-kept quirks: a pending run at
+    end-of-stream is never flushed, and a token UURIFactory cannot
+    parse as an *absolute* URI raises URIException (an IOException
+    subclass), which ends the whole document's scan — here: any
+    accepted token without a scheme aborts the remaining scan."""
+    found: List[str] = []
+    lookat: List[str] = []
+    found_dot = False
+    for counter, ch in enumerate(text):
+        if counter >= max_size:
+            break
+        if len(lookat) > MAX_URL_LENGTH:
+            lookat, found_dot = [], False
+        elif _universal_urlable(ch):
+            if ch == ".":
+                found_dot = True
+            lookat.append(ch)
+        elif len(lookat) > 3 and found_dot:
+            token = "".join(lookat)
+            if _universal_looks_like_url(token):
+                idx = token.lower().find("http")
+                if idx > 0:
+                    token = token[idx:]
+                token = token.rstrip(".")
+                if not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", token):
+                    return found  # URIException -> scan aborted
+                found.append(token)
+            lookat, found_dot = [], False
+        elif lookat:
+            lookat, found_dot = [], False
+    return found
+
+
+def universal_uris(text: Column) -> Column:
+    """array<string> of ExtractorUniversal tokens per row (SPECULATIVE
+    ``X`` hops, ``=SPECULATIVE_MISC`` context in the reference) —
+    Arrow-batched pandas UDF; the char-run accumulator is sequential
+    state no Catalyst regex reproduces."""
+    @F.pandas_udf(ArrayType(StringType()))
+    def _scan(col: pd.Series) -> pd.Series:
+        return col.map(lambda t: universal_uris_py(t) if t is not None else [])
+
+    return _scan(text)

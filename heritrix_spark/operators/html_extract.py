@@ -171,11 +171,15 @@ def extract_html_py(
     extract_value_attributes: bool = True,
     obey_meta_robots_nofollow: bool = True,
     max_outlinks: int = MAX_OUTLINKS,
+    aggressive: bool = False,
 ) -> Tuple[List[Tuple[str, str, str]], Optional[str], int]:
     """The full ExtractorHTML.extract law (:757-816). Returns
     ``(links, meta_robots, discarded)`` with links as ordered
     ``(uri, context, hop)`` triples. Keyword defaults mirror the
-    reference's kp defaults (:211-294)."""
+    reference's kp defaults (:211-294). ``aggressive=True`` is
+    AggressiveExtractorHTML.java:44-50: the script *body* is
+    additionally scanned as general-tag innards (attribute mining
+    inside script-written markup), after the normal JS string scan."""
     page = _Page(page_url, max_outlinks)
     for m in _TAG_RE.finditer(content):
         if m.start(8) > 0:
@@ -198,6 +202,12 @@ def extract_html_py(
                 extract_only_form_gets, extract_javascript,
                 extract_value_attributes)
             _process_script_code(page, seq[end_open:], extract_javascript)
+            if aggressive:
+                _process_general_tag(
+                    page, seq[0:6], seq[end_open:],
+                    treat_frames_as_embeds, ignore_form_action_urls,
+                    extract_only_form_gets, extract_javascript,
+                    extract_value_attributes)
         elif m.start(3) > 0:
             seq = m.group(3)
             end_open = m.end(4) - m.start(3)

@@ -4811,3 +4811,78 @@ def q_universal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("seq", F.col("seq").cast("int"))
         .orderBy("doc_id", "seq")
     )
+
+
+# ------------------------------------------------------ ExtractorHTTP (full)
+
+_HH_URL = (
+    "'http://h' || cast(doc_id % 20 as string) || '.example/d/p' "
+    "|| cast(doc_id as string) || '.html'"
+)
+_HH_LOC = (
+    "case when doc_id % 3 = 0 then '/moved/m' || cast(doc_id as string) "
+    "when doc_id % 3 = 1 then 'http://other.example/o' || cast(doc_id as string) "
+    "end"
+)
+_HH_CLOC = (
+    "case when doc_id % 2 = 0 then 'cl' || cast(doc_id as string) || '.html' end"
+)
+
+
+def _http_header_links_oracle() -> str:
+    return """
+with d as (select doc_id,
+    'http://h' || cast(doc_id % 20 as string) || '.example' as origin
+  from documents),
+r as (
+  select doc_id, 0 as ord,
+         origin || '/moved/m' || cast(doc_id as string) as uri,
+         'Location:' as context, 'R' as hop
+    from d where doc_id % 3 = 0
+  union all
+  select doc_id, 0, 'http://other.example/o' || cast(doc_id as string),
+         'Location:', 'R' from d where doc_id % 3 = 1
+  union all
+  select doc_id, 1, origin || '/d/cl' || cast(doc_id as string) || '.html',
+         'Content-Location:', 'R' from d where doc_id % 2 = 0
+  union all
+  select doc_id, 2, origin || '/favicon.ico', '=INFERRED_MISC', 'I' from d)
+select cast(doc_id as bigint) as doc_id,
+       cast(row_number() over (partition by doc_id order by ord) - 1 as int)
+         as seq,
+       uri, context, hop
+from r order by doc_id, seq
+"""
+
+
+@register("http_header_links", _http_header_links_oracle())
+def q_http_header_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractorHTTP complete header law (ExtractorHTTP.java:40-76):
+    Location + Content-Location => REFER links with '<Header>:'
+    contexts, /favicon.ico => INFERRED — pure Catalyst (header values
+    resolved against the fetched URI via the RFC 3986 Column chain).
+    The DuckDB twin re-derives rows from the generator parameters."""
+    from heritrix_spark.operators.extract import http_header_links
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    aug = spark.sql(
+        f"select doc_id, {_HH_URL} as url, {_HH_LOC} as loc, "
+        f"{_HH_CLOC} as cloc from documents"
+    )
+    links = http_header_links(F.col("url"), F.col("loc"), F.col("cloc"))
+    return (
+        aug.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.posexplode(links).alias("seq", "lk"),
+        )
+        .select(
+            "doc_id",
+            F.col("seq").cast("int").alias("seq"),
+            F.col("lk.uri").alias("uri"),
+            F.col("lk.context").alias("context"),
+            F.col("lk.hop").alias("hop"),
+        )
+        .orderBy("doc_id", "seq")
+    )

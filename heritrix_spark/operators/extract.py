@@ -249,3 +249,46 @@ def implied_uris(
         .drop("__implied")
     )
     return inferred
+
+
+def http_header_links(
+    url,
+    location,
+    content_location,
+    infer_root_page: bool = False,
+):
+    """ExtractorHTTP (modules/.../extractor/ExtractorHTTP.java:40-76) —
+    the complete header law, not just the Location redirect: Location
+    and Content-Location response headers become REFER (``R``) links
+    with context ``<HeaderName>:`` (addHeaderLink :58-72), a
+    ``/favicon.ico`` INFERRED (``I``) link is always added, and with
+    ``inferRootPage`` the site root ``/`` too (:52-56,
+    LinkContext.INFERRED_MISC). Header values resolve against the
+    fetched URI. Pure Catalyst: returns
+    array<struct<uri,context,hop>> (null headers drop out); the caller
+    gates on fetch status > 0 and GET/POST (shouldProcess :33-39)."""
+    from heritrix_spark.operators.content_extract import resolve_relative
+
+    origin = F.regexp_extract(
+        url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+
+    def link(uri, context, hop):
+        return F.when(
+            uri.isNotNull(),
+            F.struct(uri.alias("uri"), F.lit(context).alias("context"),
+                     F.lit(hop).alias("hop")),
+        )
+
+    entries = [
+        link(F.when(location.isNotNull(),
+                    resolve_relative(url, location)), "Location:", "R"),
+        link(F.when(content_location.isNotNull(),
+                    resolve_relative(url, content_location)),
+             "Content-Location:", "R"),
+        link(F.concat(origin, F.lit("/favicon.ico")),
+             "=INFERRED_MISC", "I"),
+    ]
+    if infer_root_page:
+        entries.append(
+            link(F.concat(origin, F.lit("/")), "=INFERRED_MISC", "I"))
+    return F.filter(F.array(*entries), lambda e: e.isNotNull())

@@ -159,3 +159,28 @@ def domain_max_docs(
     return fetch_log.withColumn("dsf_scope", scope).withColumn(
         "dsf_blocked", blocked
     )
+
+
+def runtime_limit_status(
+    elapsed_ms: Column,
+    runtime_seconds: int,
+    operation: str = "PAUSE",
+) -> tuple[Column, Column]:
+    """RuntimeLimitEnforcer (engine/.../prefetch/RuntimeLimitEnforcer
+    .java:62-120): once crawl elapsed time exceeds ``runtimeSeconds``,
+    PAUSE/TERMINATE request a crawl state change (here: a boolean the
+    driver loop reads, like crawl_limits_reached) while BLOCK_URIS
+    stamps each in-flight URI S_BLOCKED_BY_RUNTIME_LIMIT (-5004) and
+    finishes it. Returns (stop_requested, blocked_status) columns —
+    blocked_status is null unless the op is BLOCK_URIS and the limit
+    has passed."""
+    from heritrix_spark.constants import S_BLOCKED_BY_RUNTIME_LIMIT
+
+    over = elapsed_ms > F.lit(runtime_seconds * 1000)
+    stop = over if operation in ("PAUSE", "TERMINATE") else F.lit(False)
+    blocked = (
+        F.when(over, F.lit(S_BLOCKED_BY_RUNTIME_LIMIT))
+        if operation == "BLOCK_URIS"
+        else F.lit(None).cast("int")
+    )
+    return stop, blocked

@@ -243,6 +243,78 @@ def q_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("canon_url")
 
 
+# ---------------------------------------- 4b. cuckoo-prefiltered dedup + forget
+
+@register(
+    "cuckoo_seen_dedup",
+    f"""
+    with u as ({_DUCK_URLS}),
+    c as (select doc_id, {canonicalize_sql('url')} as canon_url from u),
+    firsts as (
+      select canon_url, min(doc_id) as doc_id from c group by canon_url
+    ),
+    seen as (select distinct canon_url from c
+             where doc_id % 3 = 0 and doc_id % 9 != 0)
+    select f.canon_url, cast(f.doc_id as bigint) as first_doc_id
+    from firsts f left join seen s on f.canon_url = s.canon_url
+    where s.canon_url is null
+    order by f.canon_url
+    """,
+)
+def q_cuckoo_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo-fingerprint-prefiltered already-seen check with deletion:
+    the seen set is doc_id%3==0 URLs, then the doc_id%9==0 slice is
+    ``forget``-ed from BOTH the exact set and the cuckoo sidecar
+    (counting -1 deltas). The oracle is the plain anti-join against
+    (seen minus forgotten) — so the row is green only if the prefilter
+    never changes membership AND deletion frees slots without creating
+    false negatives (UriUniqFilter.forget; the north star's
+    "partitioned bloom/cuckoo URL-seen set"). Buckets are deliberately
+    tiny (2^8) so (bucket, fp) collisions occur and the exact join
+    genuinely resolves prefilter hits."""
+    from heritrix_spark.operators.cuckooseen import (
+        cuckoo_delta,
+        cuckoo_forget_delta,
+        dedup_candidates_cuckoo,
+    )
+    from heritrix_spark.operators.seen import (
+        collapse_batch_duplicates,
+        shard_col,
+    )
+
+    buckets = 1 << 8
+    n_shards = 16
+    u = _docs_urls(spark, sf_dir).withColumn("canon_url", canonicalize_col("url"))
+    cands = collapse_batch_duplicates(
+        u.select("canon_url", F.col("doc_id").alias("ordinal")),
+        order_cols=("ordinal",),
+    )
+    added = (
+        u.filter(F.col("doc_id") % 3 == 0)
+        .select("canon_url")
+        .distinct()
+        .withColumn("shard", shard_col("canon_url", n_shards))
+    )
+    # forget the doc_id%9==0 slice (a subset of added, as the contract
+    # requires: forget only removes previously-added keys)
+    gone = (
+        u.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 9 == 0))
+        .select("canon_url")
+        .distinct()
+        .withColumn("shard", shard_col("canon_url", n_shards))
+    )
+    seen2 = added.join(gone.select("canon_url"), on="canon_url", how="left_anti")
+    deltas = cuckoo_delta(added, buckets=buckets).unionByName(
+        cuckoo_forget_delta(gone, buckets=buckets)
+    )
+    novel = dedup_candidates_cuckoo(
+        cands, seen2, deltas, n_shards=n_shards, buckets=buckets
+    )
+    return novel.select(
+        "canon_url", F.col("ordinal").cast("long").alias("first_doc_id")
+    ).orderBy("canon_url")
+
+
 # -------------------------------------------------- 5. intra-queue ordering + head pick
 
 @register(

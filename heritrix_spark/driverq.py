@@ -842,6 +842,100 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------ 15c. PageRank over the link graph
+
+_PR_M = 500          # target-id modulus (edge law below)
+_PR_ITERS = 3
+
+
+def _duck_pagerank_sql(iters: int = _PR_ITERS) -> str:
+    """Unrolled fixed-point PageRank (pipeline/pagerank.py law) as one
+    DuckDB CTE chain — integer micro-rank math, so the engines agree
+    bit-for-bit regardless of summation order."""
+    head = f"""
+    with e as (
+      select doc_id as src, (doc_id * 7 + 1) % {_PR_M} as dst
+        from documents where doc_id % 13 != 0
+      union all
+      select doc_id, (doc_id * 3 + 2) % {_PR_M}
+        from documents where doc_id % 13 != 0
+      union all
+      select doc_id, (doc_id * 7 + 1) % {_PR_M}
+        from documents where doc_id % 13 != 0 and doc_id % 5 = 0
+    ),
+    nodes as (select src as node from e union select dst from e),
+    deg as (select src, count(*) as outdeg from e group by src),
+    r0 as (select node, cast(1000000 as bigint) as rank_micro from nodes)
+    """
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    , s{i} as (
+      select e.dst as node,
+             sum(r.rank_micro // d.outdeg) as s
+      from e
+      join r{i - 1} r on r.node = e.src
+      join deg d on d.src = e.src
+      group by e.dst
+    ),
+    r{i} as (
+      select n.node,
+             cast(case when d.outdeg is null then 150000
+                  else 150000 + (850000 * coalesce(s{i}.s, 0)) // 1000000
+                  end as bigint) as rank_micro
+      from nodes n
+      left join deg d on d.src = n.node
+      left join s{i} on s{i}.node = n.node
+    )
+        """)
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    select cast(node as bigint) as node, rank_micro
+    from r{iters} order by node
+    """
+    )
+
+
+@register("pagerank", _duck_pagerank_sql())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference repo's own post-crawl analytics job — a Hadoop
+    MapReduce PageRank over crawl-extracted links
+    (heritrix3/dist/src/main/extras/pagerank/PageRank.java) —
+    re-expressed as an iterative DataFrame loop (pipeline/pagerank.py),
+    keeping the reference's sink law (:126-130: empty-adjacency nodes
+    reset to the flat 0.15 jump) and duplicate-target weighting, in
+    deterministic fixed-point micro-rank units.  Edge fixture: each
+    non-%13 document links to (id*7+1)%500 and (id*3+2)%500, %5
+    documents repeat the first target (comma-list duplicate), %13
+    documents are pure sinks/targets."""
+    from heritrix_spark.pipeline.pagerank import pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    srcs = docs.filter(F.col("doc_id") % 13 != 0)
+    e1 = srcs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % _PR_M).alias("dst"),
+    )
+    e2 = srcs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 3 + 2) % _PR_M).alias("dst"),
+    )
+    e3 = srcs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % _PR_M).alias("dst"),
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    return (
+        pagerank(edges, iterations=_PR_ITERS)
+        .select(F.col("node").cast("long").alias("node"), "rank_micro")
+        .orderBy("node")
+    )
+
+
 # -------------------------------------------------- 16. simhash clustering
 
 def _duck_simhash(bits: int = 16) -> str:
@@ -1858,6 +1952,68 @@ def q_substats_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
         disposition_col(F.col("fetch_status"), F.col("attempts")).alias("disposition"),
     )
     return substats_tally(log)
+
+
+# ------------------------------------ 26b. crawled-bytes histotable + display
+
+
+def _duck_format_bytes(b: str) -> str:
+    """ArchiveUtils.formatBytesForDisplay as DuckDB SQL (twin of
+    reports.format_bytes_col): round_even = NumberFormat HALF_EVEN,
+    printf('%,d') = the US grouping commas."""
+    arms = []
+    for p, unit in enumerate([" B", " KiB", " MiB", " GiB", " TiB"]):
+        disp = f"(({b})::double / {float(1024 ** p)})"
+        rend = (
+            f"case when {disp} < 10 then printf('%.1f', round_even({disp}, 1)) "
+            f"else printf('%,d', cast(round_even({disp}, 0) as bigint)) end"
+            f" || '{unit}'"
+        )
+        if p == 0:
+            cond = f"({b}) > 0 and ({b}) < 1024"
+        elif p < 4:
+            cond = f"({b}) >= {1024 ** p} and ({b}) < {1024 ** (p + 1)}"
+        else:
+            cond = f"({b}) >= {1024 ** 4}"
+        arms.append(f"when {cond} then {rend}")
+    return "case " + " ".join(arms) + " else '0 B' end"
+
+
+@register(
+    "crawled_bytes",
+    f"""
+    with fl as (
+      select case when doc_id % 7 = 2 then 304 else 200 end as fetch_status,
+             n_chars as content_size,
+             doc_id % 4 = 1 as identical_digest
+      from documents),
+    t as (
+      select case when fetch_status = 304 then 'notModified'
+                  when identical_digest then 'dupByHash'
+                  else 'novel' end as class,
+             content_size from fl)
+    select class, cast(sum(content_size) as bigint) as bytes,
+           cast(count(*) as bigint) as urls,
+           {_duck_format_bytes('cast(sum(content_size) as bigint)')} as display
+    from t group by class order by class
+    """,
+)
+def q_crawled_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawledBytesHistotable (CrawledBytesHistotable.java:45-56):
+    novel / dupByHash / notModified byte+URL tallies with the
+    reference's precedence (304 beats identical-digest), plus each
+    class's byte total rendered with the ArchiveUtils display law the
+    reference's summary() uses (ArchiveUtils.java:579-598 — HALF_EVEN,
+    grouping commas, <10 gets one fraction digit)."""
+    from heritrix_spark.operators.reports import crawled_bytes_histotable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fl = docs.select(
+        F.when(F.col("doc_id") % 7 == 2, 304).otherwise(200).alias("fetch_status"),
+        F.col("n_chars").alias("content_size"),
+        (F.col("doc_id") % 4 == 1).alias("identical_digest"),
+    )
+    return crawled_bytes_histotable(fl)
 
 
 # -------------------------------------------------- 27. cost assignment policies

@@ -279,3 +279,115 @@ def precedence_histogram(
         "queue_precedence",
         (F.lit(base_precedence) + F.min("precedence").over(w)).cast("int"),
     )
+
+
+def format_bytes_col(amount) -> F.Column:
+    """ArchiveUtils.formatBytesForDisplay (ArchiveUtils.java:579-598):
+    largest unit of B/KiB/MiB/GiB/TiB with the display amount < 1024
+    (TiB uncapped), one fraction digit only when the display amount is
+    under 10, NumberFormat's HALF_EVEN rounding and US grouping commas
+    (so 1023 bytes renders "1,023 B"), and any amount <= 0 as "0 B".
+    Pure Catalyst: ``bround`` supplies the banker's rounding before
+    ``format_number``'s grouping, so format_number's own mode is moot.
+    """
+    c = amount.cast("double") if hasattr(amount, "cast") else F.col(amount).cast("double")
+    out = F.lit("0 B")
+    for p, unit in reversed(list(enumerate([" B", " KiB", " MiB", " GiB", " TiB"]))):
+        disp = c / F.lit(float(1024 ** p))
+        digits_1 = F.concat(F.format_number(F.bround(disp, 1), 1), F.lit(unit))
+        digits_0 = F.concat(F.format_number(F.bround(disp, 0), 0), F.lit(unit))
+        rendered = F.when(disp < 10, digits_1).otherwise(digits_0)
+        if p == 4:
+            out = F.when(c >= F.lit(float(1024 ** 4)), rendered).otherwise(out)
+        elif p == 0:
+            out = F.when(c > 0, F.when(c < 1024, rendered).otherwise(out)).otherwise(
+                F.lit("0 B")
+            )
+        else:
+            out = F.when(
+                (c >= F.lit(float(1024 ** p))) & (c < F.lit(float(1024 ** (p + 1)))),
+                rendered,
+            ).otherwise(out)
+    return out
+
+
+def format_bytes_py(amount: int) -> str:
+    """Python twin of ``format_bytes_col`` (test oracle)."""
+    if amount <= 0:
+        return "0 B"
+    disp = float(amount)
+    p = 0
+    while disp >= 1024 and p < 4:
+        disp /= 1024
+        p += 1
+    digits = 1 if disp < 10 else 0
+    # banker's rounding like java.text.NumberFormat HALF_EVEN
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    q = Decimal(disp).quantize(Decimal(1).scaleb(-digits), ROUND_HALF_EVEN)
+    s = f"{q:,.{digits}f}"
+    return s + [" B", " KiB", " MiB", " GiB", " TiB"][p]
+
+
+def crawled_bytes_histotable(
+    fetch_log: DataFrame,
+    status_col: str = "fetch_status",
+    size_col: str = "content_size",
+    identical_col: str = "identical_digest",
+) -> DataFrame:
+    """CrawledBytesHistotable (CrawledBytesHistotable.java:45-56): each
+    fetched URI tallies its content size + a count into exactly one of
+    three classes, in the reference's precedence order — HTTP 304
+    (notModified) wins over an identical-digest revisit (dupByHash),
+    everything else is novel.  One map-side-combinable shuffle on a
+    3-value key; ``display`` renders each class's byte total with the
+    ArchiveUtils law used by the reference's summary()."""
+    klass = (
+        F.when(F.col(status_col) == 304, F.lit("notModified"))
+        .when(F.coalesce(F.col(identical_col), F.lit(False)), F.lit("dupByHash"))
+        .otherwise(F.lit("novel"))
+    )
+    return (
+        fetch_log.select(klass.alias("class"), F.col(size_col).alias("sz"))
+        .groupBy("class")
+        .agg(
+            F.sum("sz").cast("long").alias("bytes"),
+            F.count(F.lit(1)).cast("long").alias("urls"),
+        )
+        .withColumn("display", format_bytes_col(F.col("bytes")))
+        .orderBy("class")
+    )
+
+
+def crawled_bytes_summary(fetch_log: DataFrame, **kw) -> DataFrame:
+    """One-row summary string (CrawledBytesHistotable.summary :58-76):
+    '<total> crawled (<novel> novel[, <dup> dupByHash][, <nm>
+    notModified])' — the dup/notModified clauses appear only when those
+    classes occurred, exactly as the null-guards in the reference."""
+    t = crawled_bytes_histotable(fetch_log, **kw)
+    pivoted = t.groupBy().pivot("class", ["novel", "dupByHash", "notModified"]).agg(
+        F.first("bytes")
+    )
+    total = (
+        F.coalesce(F.col("novel"), F.lit(0))
+        + F.coalesce(F.col("dupByHash"), F.lit(0))
+        + F.coalesce(F.col("notModified"), F.lit(0))
+    )
+    summary = F.concat(
+        format_bytes_col(total),
+        F.lit(" crawled ("),
+        format_bytes_col(F.coalesce(F.col("novel"), F.lit(0))),
+        F.lit(" novel"),
+        F.when(
+            F.col("dupByHash").isNotNull(),
+            F.concat(F.lit(", "), format_bytes_col(F.col("dupByHash")), F.lit(" dupByHash")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("notModified").isNotNull(),
+            F.concat(
+                F.lit(", "), format_bytes_col(F.col("notModified")), F.lit(" notModified")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(")"),
+    )
+    return pivoted.select(summary.alias("summary"))

@@ -2307,6 +2307,58 @@ def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_counts(u).orderBy("class_key")
 
 
+# ------------------------------------ 33b. consistent-hash parallel subqueues
+
+
+def _duck_conhash_sql(up_to: int = 4, replicas: int = 8) -> str:
+    from heritrix_spark.operators.conhash import circle_points, fp60_sql
+
+    pts = circle_points(up_to, replicas)
+    values = ", ".join(f"({loc}, {b})" for loc, b in pts)
+    wrap_bucket = pts[0][1]
+    return f"""
+    with u as ({_DUCK_URLS}),
+    circle(loc, bucket) as (values {values}),
+    k as (select doc_id, {class_key_sql(canonicalize_sql('url'))} as class_key,
+                 regexp_extract(url, '^\\w+://[^/]+/([^/?#]*)', 1) as seg
+          from u),
+    h as (select *, {fp60_sql('seg')} as hh from k),
+    m as (select h.*,
+                 (select min(loc) from circle where loc >= h.hh) as mloc
+          from h),
+    s as (select m.*,
+                 coalesce((select bucket from circle where loc = m.mloc),
+                          {wrap_bucket}) as sub
+          from m)
+    select cast(doc_id as bigint) as doc_id,
+           case when seg is null or seg = '' or sub = 0 then class_key
+                else class_key || '+' || sub end as subqueue_key
+    from s order by doc_id
+    """
+
+
+@register("consistent_subqueues", _duck_conhash_sql())
+def q_consistent_subqueues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact parallelQueues subqueue law: LongToIntConsistentHash
+    replica circle + TreeMap-tailMap lookup with wraparound
+    (LongToIntConsistentHash.java:84-109), first-path-segment basis and
+    the bare-key quirks for empty segments / subqueue 0
+    (URIAuthorityBasedQueueAssignmentPolicy.java:96-111).  The DuckDB
+    twin replays the same circle as a VALUES table; the Spark side is a
+    zero-shuffle literal-array scan (operators/conhash.py)."""
+    from heritrix_spark.operators.conhash import parallel_class_key_col
+
+    u = _docs_urls(spark, sf_dir).withColumn(
+        "class_key", class_key_col(canonicalize_col("url"))
+    )
+    return u.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        parallel_class_key_col(
+            F.col("class_key"), F.col("url"), 4, replicas=8
+        ).alias("subqueue_key"),
+    ).orderBy("doc_id")
+
+
 # -------------------------------------------------- 34. quota enforcement
 
 @register(

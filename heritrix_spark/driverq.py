@@ -2278,6 +2278,56 @@ def q_journal_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_schedule.orderBy("canon_url")
 
 
+# ------------------------------------ 32b. recovery-log seed attribution
+
+@register(
+    "recovery_seed_map",
+    """
+    with recursive ids as (select cast(doc_id as bigint) as id from documents),
+    r as (
+      select id, id // 3 as anc from ids where id >= 10
+      union all
+      select id, anc // 3 from r where anc >= 10
+    )
+    select 'http://u' || id || '/' as canon_url,
+           'http://u' || anc || '/' as seed,
+           true as seed_found,
+           id % 2 = 0 as crawled
+    from r where anc < 10
+    order by canon_url
+    """,
+)
+def q_recovery_seed_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RecoveryLogMapper (RecoveryLogMapper.java:120-199): every
+    discovered URL in a recover log collapsed to its seed through the
+    chain of F+ vias (pointer doubling — O(log depth) self-joins), with
+    the Fs crawled mark.  Fixture: doc i's via is doc i//3, docs 0-9
+    are 2-word seed lines; the DuckDB twin is a recursive-CTE chain
+    walk over the same ids."""
+    from heritrix_spark.operators.journal import (
+        parse_recover_log,
+        recovery_log_mapper,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    url = F.concat(F.lit("http://u"), F.col("id"), F.lit("/"))
+    via = F.concat(F.lit("http://u"), F.expr("id div 3"), F.lit("/"))
+    adds = docs.select(
+        F.when(
+            F.col("id") < 10, F.concat(F.lit("F+ "), url)
+        ).otherwise(
+            F.concat(F.lit("F+ "), url, F.lit(" L "), via)
+        ).alias("line")
+    )
+    fs = docs.filter(F.col("id") % 2 == 0).select(
+        F.concat(F.lit("Fs "), url).alias("line")
+    )
+    journal = parse_recover_log(spark, adds.unionByName(fs))
+    return recovery_log_mapper(journal).orderBy("canon_url")
+
+
 # -------------------------------------------------- 33. salted per-host counts
 
 _CK_DERIVATION = (

@@ -2357,6 +2357,82 @@ def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_counts(u).orderBy("class_key")
 
 
+# ------------------------------ 32c. resource-size / class-key / geo rules
+
+@register(
+    "resource_rules",
+    f"""
+    with u as ({_DUCK_URLS}),
+    k as (select doc_id, n_chars,
+                 {class_key_sql(canonicalize_sql('url'))} as class_key,
+                 case cast(doc_id % 5 as int)
+                   when 1 then '' when 2 then 'xyz'
+                   when 3 then null
+                   else cast(n_chars as varchar) end as cl_header,
+                 case cast(doc_id % 4 as int)
+                   when 0 then 'us' when 1 then 'de' when 2 then 'fr'
+                   else null end as country
+          from u),
+    p as (select *, coalesce(case when cl_header is not null
+                                   and len(cl_header) > 0
+                              then try_cast(cl_header as int) end, -1) as hlen
+          from k)
+    select cast(doc_id as bigint) as doc_id,
+           hlen != -1 and hlen < 800 as no_longer_800,
+           hlen != -1 and hlen > 800 as longer_800,
+           n_chars < 800 as content_accept_800,
+           regexp_matches(class_key, '^(?:.*host1.*)$') as ck_host1,
+           coalesce(country in ('us', 'de'), false) as geo_allowed
+    from p order by doc_id
+    """,
+)
+def q_resource_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-fetch / midfetch rule family: ResourceNoLongerThan /
+    ResourceLongerThan (header-parse law incl. empty/unparseable/missing
+    → let pass, ResourceNoLongerThanDecideRule.java:80-128),
+    ContentLengthDecideRule's binary accept (:52-57),
+    ClassKeyMatchesRegexDecideRule (:56-59), and
+    ExternalGeoLocationDecideRule membership with unknown-host false
+    (:103-141)."""
+    from heritrix_spark.operators.scope import (
+        class_key_matches_regex_predicate,
+        content_length_accept_predicate,
+        external_geo_predicate,
+        header_content_length_col,
+        resource_longer_than_predicate,
+        resource_no_longer_than_predicate,
+    )
+
+    u = _docs_urls(spark, sf_dir).withColumn(
+        "class_key", class_key_col(canonicalize_col("url"))
+    )
+    header = (
+        F.when(F.col("doc_id") % 5 == 1, F.lit(""))
+        .when(F.col("doc_id") % 5 == 2, F.lit("xyz"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(None))
+        .otherwise(F.col("n_chars").cast("string"))
+    )
+    country = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("us"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("de"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("fr"))
+        .otherwise(F.lit(None))
+    )
+    hlen = header_content_length_col(header)
+    return u.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        resource_no_longer_than_predicate(hlen, 800).alias("no_longer_800"),
+        resource_longer_than_predicate(hlen, 800).alias("longer_800"),
+        content_length_accept_predicate(F.col("n_chars"), 800).alias(
+            "content_accept_800"
+        ),
+        class_key_matches_regex_predicate(F.col("class_key"), ".*host1.*").alias(
+            "ck_host1"
+        ),
+        external_geo_predicate(country, ["us", "de"]).alias("geo_allowed"),
+    ).orderBy("doc_id")
+
+
 # ------------------------------------ 33b. consistent-hash parallel subqueues
 
 

@@ -348,3 +348,10 @@ def queue_precedence_py(
             i += 1
         return prec
     raise ValueError(f"unknown queue precedence policy {policy!r}")
+
+
+def zero_cost_col() -> Column:
+    """ZeroCostAssignmentPolicy.costOf (:23-25): every URI costless —
+    disables budgeting (expenditure never grows, queues never retire on
+    total_budget)."""
+    return F.lit(0).cast("int")

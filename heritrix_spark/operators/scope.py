@@ -310,3 +310,63 @@ def hop_crosses_assignment_domain_predicate(url: Column, via: Column) -> Column:
         assignment_level_class_key_col(url)
         != assignment_level_class_key_col(via)
     )
+
+
+# ------------------------------------------ post-fetch / resource-size rules
+
+#: ResourceNoLongerThanDecideRule.HEADER_PREDICTS_MISSING (:79)
+HEADER_PREDICTS_MISSING = -1
+
+
+def header_content_length_col(header_value: Column) -> Column:
+    """The midfetch header-parse law (ResourceNoLongerThanDecideRule
+    evaluate :80-117): missing / empty / unparseable Content-Length →
+    HEADER_PREDICTS_MISSING (-1), which both resource rules treat as
+    "let pass"."""
+    return F.coalesce(
+        F.when(
+            header_value.isNotNull() & (F.length(header_value) > 0),
+            header_value.try_cast("int"),
+        ),
+        F.lit(HEADER_PREDICTS_MISSING),
+    )
+
+
+def resource_no_longer_than_predicate(length: Column, threshold: int) -> Column:
+    """ResourceNoLongerThanDecideRule.test (:126-128): match iff the
+    (known) length is strictly < threshold; missing (-1) never matches
+    (:115-117)."""
+    return (length != HEADER_PREDICTS_MISSING) & (length < F.lit(threshold))
+
+
+def resource_longer_than_predicate(length: Column, threshold: int) -> Column:
+    """ResourceLongerThanDecideRule.test (:38-40): strictly >."""
+    return (length != HEADER_PREDICTS_MISSING) & (length > F.lit(threshold))
+
+
+def content_length_accept_predicate(
+    content_length: Column, threshold: int = (1 << 63) - 1
+) -> Column:
+    """ContentLengthDecideRule.innerDecide (:52-57): a BINARY rule —
+    ACCEPT when contentLength < threshold, REJECT otherwise (never
+    PASS; default threshold 2^63-1 accepts everything)."""
+    return content_length < F.lit(threshold)
+
+
+def class_key_matches_regex_predicate(class_key: Column, regex: str) -> Column:
+    """ClassKeyMatchesRegexDecideRule (:56-59): the MatchesRegex
+    full-match law applied to the frontier's class key instead of the
+    URI."""
+    return matches_regex_predicate(class_key, regex)
+
+
+def external_geo_predicate(country_code: Column, codes: list[str]) -> Column:
+    """ExternalGeoLocationDecideRule.evaluate (:113-135): match iff the
+    host's (cached or looked-up) country code is in the configured
+    list; unknown hosts / failed lookups → false (:103-105, :137-141).
+    The geo-IP lookup itself is a broadcast host→country dimension join
+    upstream (live lookups stay stubbed, like operators/mapper's
+    ServerCache DNS)."""
+    if not codes:
+        return F.lit(False)
+    return F.coalesce(country_code.isin(codes), F.lit(False))

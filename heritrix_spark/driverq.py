@@ -2357,6 +2357,54 @@ def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_counts(u).orderBy("class_key")
 
 
+# ------------------------------------ 32d. mirror-writer path mapping
+
+@register(
+    "mirror_paths",
+    f"""
+    with u as ({_DUCK_URLS}),
+    c as (select doc_id, {canonicalize_sql('url')} as cu from u),
+    p as (select doc_id, cu,
+            regexp_extract(cu, '^https?://([^/?#]+)', 1) as host,
+            regexp_extract(cu, '^https?://[^/?#]+(/[^?#]*)', 1) as path,
+            case when contains(cu, '?')
+                 then regexp_extract(cu, '\\?([^#]*)', 1) else '' end as query
+          from c),
+    e as (select *,
+            regexp_extract(path, '/([^/]+)/[^/]*$', 1) as seg1,
+            regexp_extract(path, '/([^/.]+)\\.html$', 1) as main
+          from p),
+    s as (select *,
+            row_number() over (
+              partition by lower(host || '/' || seg1 || '/' || main
+                                 || query || '.html')
+              order by doc_id) - 1 as seq
+          from e)
+    select cast(doc_id as bigint) as doc_id,
+           host || '/' || seg1 || '/' || main
+             || (case when seq > 0 then cast(seq as varchar) else '' end)
+             || query || '.html' as mirror_path
+    from s order by doc_id
+    """,
+)
+def q_mirror_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MirrorWriterProcessor uriToFile (MirrorWriterProcessor.java
+    :485-713): canonicalized URI → site-mirror file path — host dir,
+    per-path-segment LumpyString mapping, query-concatenated filename
+    with the suffix at the end, and batch collision numbering (the
+    EndSegment uniqueness loop restated over the dataset).  The DuckDB
+    twin re-derives the expected concatenation from the same canonical
+    URLs (fixture segments are short, so no trim/too-long arms fire —
+    those are pinned by tests/test_mirror.py goldens)."""
+    from heritrix_spark.operators.mirror import mirror_paths
+
+    u = _docs_urls(spark, sf_dir).withColumn("cu", canonicalize_col("url"))
+    out = mirror_paths(u, url_col="cu", order_col="doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "mirror_path"
+    ).orderBy("doc_id")
+
+
 # ------------------------------ 32c. resource-size / class-key / geo rules
 
 @register(

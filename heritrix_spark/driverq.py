@@ -2357,6 +2357,59 @@ def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_counts(u).orderBy("class_key")
 
 
+# ------------------------------------ 32e. DOC hyperlink extraction
+
+@register(
+    "doc_extract",
+    """
+    with d as (select cast(doc_id as bigint) as id from documents),
+    g as (select id, 'http://u' || id || '/dir/f.doc' as base,
+                 case when id % 4 = 1 then 'text/plain'
+                      else 'application/msword' end as ct
+          from d),
+    l as (
+      select id, base,
+             'http://u' || id || '/dir/p' || (id % 7) || '.html' as dest
+      from g where ct = 'application/msword'
+      union all
+      select id, base, 'http://abs' || (id % 5) || '/q'
+      from g where ct = 'application/msword' and id % 3 = 0
+    )
+    select base, dest, 'L' as hop from l order by base, dest
+    """,
+)
+def q_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractorDOC (ExtractorDOC.java:47,75-121): reluctant
+    HYPERLINK-field scan over the decoded word97 text, each match a
+    NAVLINK resolved against the base URI — relative refs resolve,
+    mimetype-gated on application/msword.  The binary Doc.getText
+    decode is the stubbed codec; the fixture plants the decoded text
+    deterministically and the DuckDB twin re-derives the expected link
+    set from the same parameters."""
+    from heritrix_spark.operators.content_extract import doc_links
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    base = F.concat(F.lit("http://u"), F.col("id"), F.lit("/dir/f.doc"))
+    text = F.concat(
+        F.lit('a HYPERLINK "p'),
+        F.col("id") % 7,
+        F.lit('.html" b'),
+        F.when(
+            F.col("id") % 3 == 0,
+            F.concat(F.lit(' HYPERLINK "http://abs'), F.col("id") % 5, F.lit('/q"')),
+        ).otherwise(F.lit("")),
+    )
+    ct = F.when(F.col("id") % 4 == 1, F.lit("text/plain")).otherwise(
+        F.lit("application/msword")
+    )
+    df = docs.select(
+        base.alias("url"), text.alias("doc_text"), ct.alias("content_type")
+    )
+    return doc_links(df).orderBy("base", "dest")
+
+
 # ------------------------------------ 32d. mirror-writer path mapping
 
 @register(

@@ -53,7 +53,7 @@ import re
 from typing import List
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
@@ -581,3 +581,88 @@ def universal_uris(text: Column) -> Column:
         return col.map(lambda t: universal_uris_py(t) if t is not None else [])
 
     return _scan(text)
+
+
+# ---------------------------------------------------------------------------
+# ExtractorDOC / ExtractorPDF (binary-document link mining)
+# ---------------------------------------------------------------------------
+
+#: ExtractorDOC.PATTERN (ExtractorDOC.java:47) — reluctant scan of the
+#: extracted Word text for href-style fields; RE2/Java agree on ``.*?``
+DOC_HYPERLINK_RE = 'HYPERLINK.*?"(.*?)"'
+
+#: ExtractorPDF default maxSizeToParse (ExtractorPDF.java:49: 10 MiB)
+PDF_MAX_SIZE_TO_PARSE = 10 * 1024 * 1024
+
+
+def doc_should_extract_col(content_type: Column) -> Column:
+    """ExtractorDOC.shouldExtract (:60-66): mimetype prefix
+    application/msword, null never."""
+    return F.coalesce(
+        F.lower(content_type).startswith("application/msword"), F.lit(False)
+    )
+
+
+def doc_hyperlink_uris_col(doc_text: Column) -> Column:
+    """ExtractorDOC.innerExtract (:75-108): every reluctant
+    ``HYPERLINK.*?"(...)"`` match in the word97 text becomes a link.
+    The Doc.getText binary decode itself is an upstream codec (stubbed
+    like pipeline/multimodal's — no POI in this environment); this is
+    the extraction law over its output."""
+    return F.regexp_extract_all(doc_text, F.lit(DOC_HYPERLINK_RE), 1)
+
+
+def doc_links(
+    df: DataFrame,
+    base_col: str = "url",
+    text_col: str = "doc_text",
+    content_type_col: str = "content_type",
+) -> DataFrame:
+    """One row per extracted DOC hyperlink, resolved against the base
+    URI (ExtractorDOC.addLink :111-121: UURIFactory.getInstance(base,
+    hyperlink) — RELATIVE resolution), hop 'L' (Hop.NAVLINK)."""
+    gated = df.filter(doc_should_extract_col(F.col(content_type_col)))
+    exploded = gated.select(
+        F.col(base_col).alias("base"),
+        F.explode(doc_hyperlink_uris_col(F.col(text_col))).alias("ref"),
+    )
+    return exploded.select(
+        "base",
+        resolve_relative(F.col("base"), F.col("ref")).alias("dest"),
+        F.lit("L").alias("hop"),
+    )
+
+
+def pdf_should_extract_col(content_type: Column, content_size: Column) -> Column:
+    """ExtractorPDF.shouldExtract: application/pdf prefix (:64-71) and
+    the maxSizeToParse gate (:45-57, default 10 MiB)."""
+    return F.coalesce(
+        content_type.startswith("application/pdf"), F.lit(False)
+    ) & (content_size <= F.lit(PDF_MAX_SIZE_TO_PARSE))
+
+
+def pdf_links(
+    df: DataFrame,
+    base_col: str = "url",
+    uris_col: str = "pdf_uris",
+    content_type_col: str = "content_type",
+    content_size_col: str = "content_size",
+) -> DataFrame:
+    """One row per PDFParser-extracted URI.  Unlike ExtractorDOC, the
+    dest is built ABSOLUTE — UURIFactory.getInstance(uri) with no base
+    (ExtractorPDF.java:115-119) — so relative strings in PDF objects
+    are dropped rather than resolved; hop 'L' (Hop.NAVLINK :118).  The
+    PDF object parse is an upstream codec (stubbed); ``uris_col`` is
+    its array<string> output."""
+    gated = df.filter(
+        pdf_should_extract_col(F.col(content_type_col), F.col(content_size_col))
+    )
+    exploded = gated.select(
+        F.col(base_col).alias("base"),
+        F.explode(F.col(uris_col)).alias("ref"),
+    )
+    # absolute-only law: a ref without a scheme would throw URIException
+    # in UURIFactory.getInstance(ref) and be logged+dropped (:120-123)
+    return exploded.filter(F.col("ref").rlike(r"^[a-zA-Z][\w+.-]*:")).select(
+        "base", F.col("ref").alias("dest"), F.lit("L").alias("hop")
+    )

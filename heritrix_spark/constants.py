@@ -182,6 +182,14 @@ class PolitenessConfig:
     # zero hits are pruned from the seen-side scan. Membership is
     # bit-identical either way (tests/test_bloomseen.py, e2e test).
     seen_bloom_bits: int = 0
+    # Cuckoo-sidecar prefilter (operators/cuckooseen.py) — the
+    # deletable half of the north star's "bloom/cuckoo URL-seen set":
+    # counting (shard, bucket, fp) fingerprint deltas; forget appends
+    # -1 rows and compaction frees slots, where a bloom only accretes.
+    # > 0 = buckets per shard; 0 = off. Mutually exclusive with
+    # seen_bloom_bits (bloom wins if both set). Membership is
+    # bit-identical either way (tests/test_cuckooseen.py e2e).
+    seen_cuckoo_buckets: int = 0
     # Test knob: when true, ~1/7 of existing docs (md5-selected) fail
     # their first fetch attempt with S_CONNECT_FAILED and succeed on
     # retry — exercises needsReenqueuing/retryDelay semantics

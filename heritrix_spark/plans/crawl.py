@@ -148,6 +148,14 @@ def crawl(
                 "url_seen_bloom",
                 0,
             )
+        if cfg.seen_cuckoo_buckets > 0:
+            from heritrix_spark.operators.cuckooseen import cuckoo_delta
+
+            store.write_delta(
+                cuckoo_delta(url_seen, buckets=cfg.seen_cuckoo_buckets),
+                "url_seen_cuckoo",
+                0,
+            )
         store.write_delta(
             frontier.select(
                 F.lit(0).alias("round"),
@@ -208,6 +216,11 @@ def crawl(
         seen_blooms = (
             store.read("url_seen_bloom") if cfg.seen_bloom_bits > 0 else None
         )
+        seen_cuckoo = (
+            store.read("url_seen_cuckoo")
+            if cfg.seen_cuckoo_buckets > 0
+            else None
+        )
         result = run_round(
             spark,
             round_no,
@@ -222,6 +235,7 @@ def crawl(
             cfg,
             future_uris=future_uris,
             seen_blooms=seen_blooms,
+            seen_cuckoo=seen_cuckoo,
             host_config=host_config,
         )
         if result.done:
@@ -297,6 +311,27 @@ def crawl(
             writes.append(
                 lambda: store.write_delta(
                     bloom_out, "url_seen_bloom", round_no, reset=bloom_reset
+                )
+            )
+        if cfg.seen_cuckoo_buckets > 0:
+            from heritrix_spark.operators.cuckooseen import (
+                cuckoo_delta,
+                merge_cuckoo,
+            )
+
+            cuckoo_out = cuckoo_delta(
+                result.url_seen_delta, buckets=cfg.seen_cuckoo_buckets
+            )
+            cuckoo_reset = compact and seen_cuckoo is not None
+            if cuckoo_reset:
+                # compaction = sum-merge, freed (cnt<=0) slots dropped —
+                # the cuckoo-deletion analog of the bloom's bit_or fold
+                cuckoo_out = merge_cuckoo(
+                    seen_cuckoo.unionByName(cuckoo_out)
+                )
+            writes.append(
+                lambda: store.write_delta(
+                    cuckoo_out, "url_seen_cuckoo", round_no, reset=cuckoo_reset
                 )
             )
         # the metrics aggregate reads only the persisted fetched set —

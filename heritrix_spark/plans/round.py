@@ -712,6 +712,7 @@ def run_round(
     cfg: PolitenessConfig = PolitenessConfig(),
     future_uris: DataFrame | None = None,
     seen_blooms: DataFrame | None = None,
+    seen_cuckoo: DataFrame | None = None,
     host_config: DataFrame | None = None,
     probe: dict | None = None,
 ) -> RoundResult:
@@ -876,6 +877,18 @@ def run_round(
             seen_blooms,
             n_shards=cfg.n_seen_shards,
             bits=cfg.seen_bloom_bits,
+        )
+    elif cfg.seen_cuckoo_buckets > 0 and seen_cuckoo is not None:
+        # cuckoo prefilter: same accuracy law, plus deletion support
+        # (forget appends -1 deltas; the crawl loop itself only adds)
+        from heritrix_spark.operators.cuckooseen import dedup_candidates_cuckoo
+
+        novel = dedup_candidates_cuckoo(
+            unique,
+            url_seen,
+            seen_cuckoo,
+            n_shards=cfg.n_seen_shards,
+            buckets=cfg.seen_cuckoo_buckets,
         )
     else:
         novel = dedup_candidates(unique, url_seen, n_shards=cfg.n_seen_shards)

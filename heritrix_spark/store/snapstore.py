@@ -64,6 +64,7 @@ DELTA_TABLES = (
     "frontier",  # rows + positional-delete tombstones (tombstone flag)
     "url_seen",
     "url_seen_bloom",
+    "url_seen_cuckoo",
     "fetch_log",
     "lineage",
 )

@@ -129,3 +129,41 @@ def test_force_fetch_bypasses(spark, seen, cuckoo):
     got = {r["canon_url"] for r in dedup_candidates_cuckoo(
         cands, seen, cuckoo, n_shards=N_SHARDS, buckets=BUCKETS).collect()}
     assert got == {"http://h0.example/p0"}  # forced through, dup dropped
+
+
+def test_crawl_with_cuckoo_bit_identical(spark, tmp_path):
+    """A full crawl with the cuckoo sidecar enabled (incl. a compaction
+    round) must produce exactly the same fetch log, seen set, and round
+    count as without it — the same accuracy law the bloom e2e pins."""
+    from dataclasses import replace
+
+    from heritrix_spark.constants import PolitenessConfig
+    from heritrix_spark.fixtures.gen import generate, write_parquet
+    from heritrix_spark.plans.crawl import crawl
+
+    fx = generate(hosts=3, docs_per_host=3, links_per_doc=2, seed=29)
+    paths = write_parquet(fx, str(tmp_path / "fx"))
+    docs = spark.read.parquet(paths["docs"])
+    seeds = spark.read.parquet(paths["seeds"])
+    robots = spark.read.parquet(paths["robots"])
+
+    base = crawl(
+        spark, str(tmp_path / "plain"), docs, seeds, robots, PolitenessConfig()
+    )
+    cuckooed = crawl(
+        spark,
+        str(tmp_path / "cuckooed"),
+        docs,
+        seeds,
+        robots,
+        replace(PolitenessConfig(), seen_cuckoo_buckets=1 << 6),
+    )
+
+    def state(res):
+        log = sorted(
+            tuple(sorted(r.asDict().items())) for r in res.fetch_log().collect()
+        )
+        seen = sorted(r["canon_url"] for r in res.url_seen().collect())
+        return log, seen, res.rounds
+
+    assert state(cuckooed) == state(base)

@@ -56,13 +56,21 @@ def main() -> None:
     for _ in range(2):
         with tempfile.TemporaryDirectory(prefix="hxbench_") as tmp:
             heads.append(run_schedule_dedup_bench(spark, n, tmp))
-        total += heads[-1]["elapsed_sec"] + heads[-1]["elapsed_bloom_sec"]
+        total += (
+            heads[-1]["elapsed_sec"]
+            + heads[-1]["elapsed_bloom_sec"]
+            + heads[-1]["elapsed_cuckoo_sec"]
+        )
     head = min(heads, key=lambda h: h["elapsed_sec"])
     head_bloom = min(heads, key=lambda h: h["elapsed_bloom_sec"])
+    head_cuckoo = min(heads, key=lambda h: h["elapsed_cuckoo_sec"])
     queries["frontier_schedule_dedup"] = round(head["elapsed_sec"], 3)
     queries["frontier_schedule_dedup_cold"] = round(heads[0]["elapsed_sec"], 3)
     queries["frontier_schedule_dedup_bloom"] = round(
         head_bloom["elapsed_bloom_sec"], 3
+    )
+    queries["frontier_schedule_dedup_cuckoo"] = round(
+        head_cuckoo["elapsed_cuckoo_sec"], 3
     )
 
     # registry queries at the given sf
@@ -86,6 +94,9 @@ def main() -> None:
         "urls_scheduled_deduped_per_sec": round(head["urls_per_sec"], 1),
         "urls_scheduled_deduped_per_sec_bloom": round(
             head_bloom["urls_per_sec_bloom"], 1
+        ),
+        "urls_scheduled_deduped_per_sec_cuckoo": round(
+            head_cuckoo["urls_per_sec_cuckoo"], 1
         ),
         "cores": cpus,
     }

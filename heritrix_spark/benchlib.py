@@ -83,6 +83,8 @@ def schedule_dedup_pipeline(
     lead_bound: int | None = None,
     seen_blooms: DataFrame | None = None,
     bloom_bits: int = 0,
+    seen_cuckoo: DataFrame | None = None,
+    cuckoo_buckets: int = 0,
 ) -> DataFrame:
     """The measured job: prepare → collapse dups → anti-join seen →
     deterministic ordinals. Identical operator chain to plans/round.py
@@ -119,6 +121,12 @@ def schedule_dedup_pipeline(
 
         novel = dedup_candidates_bloom(
             uniq, url_seen, seen_blooms, n_shards=64, bits=bloom_bits
+        )
+    elif seen_cuckoo is not None and cuckoo_buckets > 0:
+        from heritrix_spark.operators.cuckooseen import dedup_candidates_cuckoo
+
+        novel = dedup_candidates_cuckoo(
+            uniq, url_seen, seen_cuckoo, n_shards=64, buckets=cuckoo_buckets
         )
     else:
         novel = dedup_candidates(uniq, url_seen, n_shards=64)
@@ -184,12 +192,35 @@ def run_schedule_dedup_bench(
     result_b.write.format("noop").mode("overwrite").save()
     elapsed_bloom = time.monotonic() - t0
     spark.catalog.clearCache()
+
+    # cuckoo-prefilter variant (operators/cuckooseen.py): the deletable
+    # sidecar, same pre-built-at-write-time amortization as the bloom
+    from heritrix_spark.operators.cuckooseen import (
+        DEFAULT_BUCKETS,
+        cuckoo_delta,
+    )
+
+    cuckoo_path = f"{workdir}/url_seen_cuckoo"
+    cuckoo_delta(url_seen, buckets=DEFAULT_BUCKETS).write.mode(
+        "overwrite"
+    ).parquet(cuckoo_path)
+    cuckoo = spark.read.parquet(cuckoo_path)
+    t0 = time.monotonic()
+    result_c = schedule_dedup_pipeline(
+        candidates, url_seen, lead_bound=n,
+        seen_cuckoo=cuckoo, cuckoo_buckets=DEFAULT_BUCKETS,
+    )
+    result_c.write.format("noop").mode("overwrite").save()
+    elapsed_cuckoo = time.monotonic() - t0
+    spark.catalog.clearCache()
     return {
         "n_candidates": n,
         "elapsed_sec": elapsed,
         "urls_per_sec": n / elapsed,
         "elapsed_bloom_sec": elapsed_bloom,
         "urls_per_sec_bloom": n / elapsed_bloom,
+        "elapsed_cuckoo_sec": elapsed_cuckoo,
+        "urls_per_sec_cuckoo": n / elapsed_cuckoo,
     }
 
 

@@ -2410,6 +2410,80 @@ def q_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_links(df).orderBy("base", "dest")
 
 
+# ------------------------------------ 32f. SWF link mining
+
+@register(
+    "swf_extract",
+    """
+    with d as (select cast(doc_id as bigint) as id from documents),
+    g as (select id,
+            'http://u' || id ||
+              (case when id % 4 = 1 then '/m.swf' else '/m.bin' end) as base,
+            'http://v' || id || '/dir/' as via
+          from d where id % 4 < 2),
+    l as (
+      select base, via || 'img/e' || (id % 7) || '.gif' as dest, 'E' as hop
+      from g
+      union all
+      select base, 'http://s' || (id % 5) || '/t', 'X' from g
+      union all
+      select base, 'http://u' || id || '/pop' || (id % 3) || '.html', 'X'
+      from g
+    )
+    select base, dest, hop from l order by base, dest, hop
+    """,
+)
+def q_swf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractorSWF (ExtractorSWF.java:66-76 gate, CrawlUriSWFAction
+    :289-360 link law): decoded flash tag/action events → EMBED links
+    resolved against the via, push/lookupTable strings through the
+    isLikelyUri gate → SPECULATIVE, javascript: getURLs through the
+    ExtractorJS string scan against the base.  The javaswf binary
+    decode is the stubbed codec; the fixture plants the decoded event
+    stream deterministically (one relative embed, one likely push
+    string, one javascript: pseudo-URL per doc; mimetype/suffix gate
+    cycled over id%4 — null content-type and non-flash rows must
+    vanish) and the DuckDB twin re-derives the expected links from the
+    same parameters."""
+    from heritrix_spark.operators.content_extract import swf_links
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    base = F.concat(
+        F.lit("http://u"),
+        F.col("id"),
+        F.when(F.col("id") % 4 == 1, F.lit("/m.swf")).otherwise(F.lit("/m.bin")),
+    )
+    via = F.concat(F.lit("http://v"), F.col("id"), F.lit("/dir/"))
+    ct = (
+        F.when(
+            F.col("id") % 4 == 0, F.lit("application/x-shockwave-flash")
+        )
+        .when(F.col("id") % 4 == 1, F.lit("text/plain"))  # .swf suffix rescues
+        .when(F.col("id") % 4 == 3, F.lit("text/html"))   # gated out
+        # id % 4 == 2 -> null content-type: never extracts (:66-70)
+    )
+    ev = lambda kind, value: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"), value.alias("value")
+    )
+    events = F.array(
+        ev("url", F.concat(F.lit("img/e"), F.col("id") % 7, F.lit(".gif"))),
+        ev("url", F.concat(
+            F.lit('javascript:f("pop'), F.col("id") % 3, F.lit('.html")')
+        )),
+        ev("string", F.concat(F.lit("http://s"), F.col("id") % 5, F.lit("/t"))),
+        ev("string", F.lit("not a uri")),  # fails isLikelyUri, dropped
+    )
+    df = docs.select(
+        base.alias("url"),
+        via.alias("via"),
+        events.alias("swf_events"),
+        ct.alias("content_type"),
+    )
+    return swf_links(df).orderBy("base", "dest", "hop")
+
+
 # ------------------------------------ 32d. mirror-writer path mapping
 
 @register(

@@ -666,3 +666,92 @@ def pdf_links(
     return exploded.filter(F.col("ref").rlike(r"^[a-zA-Z][\w+.-]*:")).select(
         "base", F.col("ref").alias("dest"), F.lit("L").alias("hop")
     )
+
+
+# ---------------------------------------------------------------------------
+# ExtractorSWF (flash link mining over a stubbed javaswf decode)
+# ---------------------------------------------------------------------------
+
+#: ExtractorSWF.JSSTRING (ExtractorSWF.java:56) — the getURL branch
+#: tests it with a case-sensitive startsWith (:316)
+SWF_JSSTRING = "javascript:"
+
+
+def swf_should_extract_col(url: Column, content_type: Column) -> Column:
+    """ExtractorSWF.shouldExtract (ExtractorSWF.java:66-76): a null
+    content-type NEVER extracts (the null check precedes the suffix
+    disjunction, so even a ``.swf`` URL is skipped); otherwise extract
+    when the lowercased type contains ``x-shockwave-flash`` OR the
+    lowercased URI string ends with ``.swf``."""
+    return content_type.isNotNull() & (
+        F.lower(content_type).contains("x-shockwave-flash")
+        | F.lower(url).endswith(".swf")
+    )
+
+
+def swf_links(
+    df: DataFrame,
+    base_col: str = "url",
+    via_col: str = "via",
+    events_col: str = "swf_events",
+    content_type_col: str = "content_type",
+) -> DataFrame:
+    """One row per link mined from decoded SWF tag/action events
+    (ExtractorSWF.CrawlUriSWFAction, ExtractorSWF.java:289-360).
+
+    The javaswf binary decode (SWFReader/TagParser/ActionParser) is an
+    upstream codec — stubbed here exactly like ExtractorDOC's
+    Doc.getText and pipeline/multimodal's decoders (no flash lib in
+    this environment); ``events_col`` is its output, an
+    ``array<struct<kind:string, value:string>>`` with kind ``url``
+    (a ``SWFActions.getURL`` call) or ``string`` (a ``push`` /
+    ``lookupTable`` action value). The LINK LAW over those events is
+    fully implemented:
+
+    - a ``getURL`` value starting ``javascript:`` routes through
+      ExtractorJS.considerStrings over the pseudo-URL (:316-317,
+      ``handlingJSFile=false`` → ``Link.addRelativeToBase``): each
+      quoted likely-URI string inside is unescaped, speculativeFixup'd,
+      resolved against the BASE, hop 'X' (SPECULATIVE);
+    - any other ``getURL`` value → hop 'E' (Hop.EMBED,
+      LinkContext.EMBED_MISC) resolved against the VIA
+      (``Link.addRelativeToVia`` :319-322);
+    - a ``string`` value passes the ``UriUtils.isLikelyUri`` gate
+      (:326-332) → hop 'X' resolved against the VIA — considerStringAsUri
+      applies neither the JS unescape nor speculativeFixup.
+
+    Pure Catalyst except the javascript: branch, which reuses the
+    ExtractorJS Arrow scan (one ArrowEvalPython stage over only the
+    javascript: events — at corpus scale a vanishing fraction of rows).
+    """
+    gated = df.filter(
+        swf_should_extract_col(F.col(base_col), F.col(content_type_col))
+    )
+    ev = gated.select(
+        F.col(base_col).alias("base"),
+        F.col(via_col).alias("via"),
+        F.explode(F.col(events_col)).alias("ev"),
+    )
+    kind, val = F.col("ev.kind"), F.col("ev.value")
+    is_js = val.startswith(SWF_JSSTRING)
+
+    embeds = ev.filter((kind == "url") & ~is_js).select(
+        "base",
+        resolve_relative(F.col("via"), val).alias("dest"),
+        F.lit("E").alias("hop"),
+    )
+    strings = ev.filter((kind == "string") & is_likely_uri(val)).select(
+        "base",
+        resolve_relative(F.col("via"), val).alias("dest"),
+        F.lit("X").alias("hop"),
+    )
+    js = (
+        ev.filter((kind == "url") & is_js)
+        .select("base", F.explode(js_string_uris(val)).alias("ref"))
+        .select(
+            "base",
+            resolve_relative(F.col("base"), F.col("ref")).alias("dest"),
+            F.lit("X").alias("hop"),
+        )
+    )
+    return embeds.unionByName(strings).unionByName(js)

@@ -2278,6 +2278,69 @@ def q_journal_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_schedule.orderBy("canon_url")
 
 
+# ------------------------------ 32g. action-directory hot-folder import
+
+@register(
+    "action_directory",
+    """
+    with d as (select cast(doc_id as bigint) as id from documents),
+    n as (
+      select 'note' as op, 'http://u' || id || '/' as canon_url,
+             '' as hops_path, cast(null as varchar) as via,
+             false as force_fetch
+      from d where id % 2 = 0
+      union all
+      select 'note', 'http://q' || id || '/', '', cast(null as varchar),
+             false
+      from d where id % 5 = 0
+    ),
+    s as (
+      select 'schedule' as op, 'http://u' || id || '/' as canon_url,
+             'L' as hops_path, 'http://u' || (id // 3) || '/' as via,
+             false as force_fetch
+      from d
+    )
+    select op, canon_url, hops_path, via, force_fetch
+    from (select * from n union all select * from s)
+    order by op, canon_url
+    """,
+)
+def q_action_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ActionDirectory ``.recover`` routing (ActionDirectory.java
+    :205-258 → AbstractFrontier.importRecoverFormat :894-952): the
+    two-pass law — ``F[si]`` lines noted as included, then every
+    ``F+`` line re-scheduled with its via, short vias nulled.  The
+    fixture synthesizes the recover log from documents (one F+ line
+    per doc, Fs for evens, Fi for id%5) and the DuckDB twin re-derives
+    both passes' output from the same parameters."""
+    from heritrix_spark.operators.actions import act_on_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    u = F.concat(F.lit("http://u"), F.col("id"), F.lit("/"))
+    via = F.concat(F.lit("http://u"), F.expr("id div 3"), F.lit("/"))
+    lines = docs.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.concat(F.lit("F+ "), u, F.lit(" L "), via),
+                    F.when(F.col("id") % 2 == 0, F.concat(F.lit("Fs "), u)),
+                    F.when(
+                        F.col("id") % 5 == 0,
+                        F.concat(
+                            F.lit("Fi http://q"), F.col("id"), F.lit("/")
+                        ),
+                    ),
+                )
+            )
+        ).alias("line")
+    )
+    return act_on_lines("frontier.recover.gz", lines).orderBy(
+        "op", "canon_url"
+    )
+
+
 # ------------------------------------ 32b. recovery-log seed attribution
 
 @register(

@@ -370,3 +370,25 @@ def external_geo_predicate(country_code: Column, codes: list[str]) -> Column:
     if not codes:
         return F.lit(False)
     return F.coalesce(country_code.isin(codes), F.lit(False))
+
+
+def supplementary_links_filter(
+    candidates: DataFrame,
+    rules: list[Rule],
+    page_prereq_col: Column | None = None,
+) -> DataFrame:
+    """SupplementaryLinksScoper (engine/.../postprocessor/
+    SupplementaryLinksScoper.java:44-120): after LinksScoper has ruled
+    candidates in-scope, a SECOND rule sequence prunes them further —
+    a candidate survives only when the supplementary fold's decision is
+    exactly ACCEPT (isInScope :108-115; the sequence starts NONE, so
+    no-rule-fires is out, which apply_rules' ``start=False`` models).
+    A page carrying a prerequisite skips supplementary processing
+    entirely (innerProcess :84-87) — pass ``page_prereq_col`` and those
+    rows flow through untouched. The reference's multi-machine use case
+    (prune links not intended for this crawler) is the mapper divert;
+    this is its in-chain form."""
+    keep = apply_rules(rules, start=False)
+    if page_prereq_col is not None:
+        keep = page_prereq_col | keep
+    return candidates.filter(keep)

@@ -392,3 +392,77 @@ def supplementary_links_filter(
     if page_prereq_col is not None:
         keep = page_prereq_col | keep
     return candidates.filter(keep)
+
+
+def seed_accept_predicate(is_seed: Column) -> Column:
+    """SeedAcceptDecideRule (SeedAcceptDecideRule.java:35-38): ACCEPT
+    exactly the URIs flagged as seeds."""
+    return F.coalesce(is_seed, F.lit(False))
+
+
+def fetch_status_in_set_predicate(
+    fetch_status: Column, status_codes: list[int]
+) -> Column:
+    """FetchStatusDecideRule (:35-55): fetch status ∈ configured list
+    (empty list matches nothing, like the reference's empty
+    ArrayList)."""
+    if not status_codes:
+        return F.lit(False)
+    return fetch_status.isin(*status_codes)
+
+
+def fetch_status_matches_regex_predicate(
+    fetch_status: Column, regex: str
+) -> Column:
+    """FetchStatusMatchesRegexDecideRule: the decimal status string
+    full-matches the regex (MatchesRegexDecideRule.evaluate uses
+    ``matches()``; Not- is the same predicate under a REJECT Rule)."""
+    return matches_regex_predicate(fetch_status.cast("string"), regex)
+
+
+def content_type_matches_regex_predicate(
+    content_type: Column, regex: str
+) -> Column:
+    """ContentTypeMatchesRegexDecideRule: full-match over the content
+    type; a null content type matches nothing (the reference NPE-guards
+    by never running pre-fetch)."""
+    return F.coalesce(matches_regex_predicate(content_type, regex),
+                      F.lit(False))
+
+
+def host_basename_col(url: Column) -> Column:
+    """UURI.getHostBasename (commons/.../net/UURI.java:244-253): the
+    referenced host with one leading ``www\\d*.`` stripped
+    (MASSAGEHOST_PATTERN :74)."""
+    host = F.lower(
+        F.regexp_extract(
+            url, r"^[a-zA-Z][\w+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1
+        )
+    )
+    return F.regexp_replace(host, r"^www\d*\.", "")
+
+
+def add_redirect_from_root_server_predicate(
+    url: Column, via: Column, hops_path: Column
+) -> Column:
+    """AddRedirectFromRootServerToScope (:40-66): ACCEPT a redirect
+    (last hop 'R' — CrawlURI.isLocation :1400-1404) whose host basename
+    equals its via's AND whose via path is exactly ``/`` — i.e. the
+    root page of a server bounced the crawler somewhere on the same
+    (www-stripped) host. The reference also marks the URI a seed as a
+    side effect; callers route accepted rows through the seed-promotion
+    path (plans/round.py seeds_redirect_new_seeds) for that half."""
+    is_location = F.coalesce(hops_path.endswith("R"), F.lit(False))
+    via_path = F.coalesce(
+        F.regexp_extract(via, r"^[a-zA-Z][\w+.-]*://[^/?#]*(/[^?#]*)?", 1),
+        F.lit(""),
+    )
+    same_host = host_basename_col(url) == host_basename_col(via)
+    return (
+        via.isNotNull()
+        & (host_basename_col(url) != "")
+        & (host_basename_col(via) != "")
+        & same_host
+        & is_location
+        & (via_path == "/")
+    )

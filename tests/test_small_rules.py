@@ -84,3 +84,75 @@ def test_zero_cost(spark):
     df = spark.createDataFrame([(1,)], ["x"])
     (r,) = df.select(zero_cost_col().alias("c")).collect()
     assert r["c"] == 0
+
+
+def test_seed_accept_and_fetch_status_rules(spark):
+    from heritrix_spark.operators.scope import (
+        fetch_status_in_set_predicate,
+        fetch_status_matches_regex_predicate,
+        seed_accept_predicate,
+    )
+
+    df = spark.createDataFrame(
+        [(True, 200), (False, 404), (None, 301)],
+        "is_seed boolean, status int",
+    )
+    got = df.select(
+        seed_accept_predicate(F.col("is_seed")).alias("seed"),
+        fetch_status_in_set_predicate(F.col("status"), [200, 301]).alias("inset"),
+        fetch_status_in_set_predicate(F.col("status"), []).alias("empty"),
+        fetch_status_matches_regex_predicate(F.col("status"), r"3\d\d").alias("rx"),
+    ).collect()
+    assert [(r["seed"], r["inset"], r["empty"], r["rx"]) for r in got] == [
+        (True, True, False, False),
+        (False, False, False, False),
+        (False, True, False, True),  # null is_seed -> False
+    ]
+
+
+def test_content_type_matches_regex_null_safe(spark):
+    from heritrix_spark.operators.scope import content_type_matches_regex_predicate
+
+    df = spark.createDataFrame(
+        [("text/html",), ("text/html; charset=utf-8",), (None,)], ["ct"]
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            content_type_matches_regex_predicate(F.col("ct"), r"text/html\b.*")
+        ).collect()
+    ]
+    assert got == [True, True, False]
+
+
+def test_add_redirect_from_root_server(spark):
+    from heritrix_spark.operators.scope import (
+        add_redirect_from_root_server_predicate,
+    )
+
+    rows = [
+        # root-server redirect, same basename (www-stripped) -> ACCEPT
+        ("http://www.a.example/landing", "http://a.example/", "LR", True),
+        # via path not exactly '/'
+        ("http://a.example/landing", "http://a.example/x/", "LR", False),
+        # not a redirect hop
+        ("http://a.example/landing", "http://a.example/", "LL", False),
+        # different host
+        ("http://b.example/landing", "http://a.example/", "R", True and False),
+        # no via
+        ("http://a.example/landing", None, "R", False),
+        # www2 also strips (MASSAGEHOST_PATTERN ^www\d*\.)
+        ("http://www2.a.example/p", "http://www.a.example/", "R", True),
+    ]
+    df = spark.createDataFrame(
+        [(u, v, h) for u, v, h, _ in rows], ["url", "via", "hops"]
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            add_redirect_from_root_server_predicate(
+                F.col("url"), F.col("via"), F.col("hops")
+            )
+        ).collect()
+    ]
+    assert got == [want for *_, want in rows]

@@ -814,7 +814,16 @@ def run_round(
         .withColumn("fetch_duration_ms", E["fetch_duration"])
         .withColumn("disposition", E["disposition"])
     )
-    fetched = fetched.persist()
+    # Eager localCheckpoint, not persist(): persist caches the DATA but
+    # every downstream action still re-analyzes the full logical plan —
+    # and a round's plan embeds the (large) canonicalization/SURT
+    # expression trees, so with ~8 independent write jobs per round the
+    # driver re-analyzed the whole round plan 8×. Checkpointing truncates
+    # the plan to a LogicalRDD, making every derived write job's analysis
+    # O(columns). Crash-safety is unchanged: a lost executor voids the
+    # round, and the round is idempotent from the last committed manifest
+    # (the same story as a mid-round kill, tests/test_resume.py).
+    fetched = fetched.localCheckpoint(eager=True)
 
     # ---- extraction (spec step 3) + candidates (spec step 4)
     extractable = (
@@ -898,7 +907,7 @@ def run_round(
         base=max_ordinal,
         lead_bound=max_ordinal,
     )
-    novel = novel.persist()
+    novel = novel.localCheckpoint(eager=True)  # same plan-truncation law as fetched
     new_max_ordinal = max_ordinal + n_novel
 
     novel_frontier = novel.select(

@@ -1442,7 +1442,7 @@ def _fixture_crawl_log(spark: SparkSession) -> DataFrame:
     its fetch log from the temp store; `crawl_rounds`, `seeds_report`
     and `source_host_tally` all read this one crawl (the reference
     likewise writes all its reports from one StatisticsTracker)."""
-    if "log" not in _CRAWL_CACHE:
+    if "rows" not in _CRAWL_CACHE:
         import tempfile
 
         from heritrix_spark.fixtures.gen import generate, write_parquet

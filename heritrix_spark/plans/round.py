@@ -901,13 +901,21 @@ def run_round(
         )
     else:
         novel = dedup_candidates(unique, url_seen, n_shards=cfg.n_seen_shards)
-    novel, n_novel = assign_ordinals(
+    # defer_count: ordinal offsets become a lazy cumulative-sum window
+    # broadcast-joined back (no per-round driver collect — the event-log
+    # audit showed that collect was ~15 AQE sub-jobs/round, the largest
+    # driver action after the write pool). The single materialization is
+    # the eager checkpoint below; the batch count then comes from a
+    # trivial count() over the already-checkpointed partitions.
+    novel, _ = assign_ordinals(
         novel,
         ["parent_ordinal", "link_seq", "canon_url"],
         base=max_ordinal,
         lead_bound=max_ordinal,
+        defer_count=True,
     )
     novel = novel.localCheckpoint(eager=True)  # same plan-truncation law as fetched
+    n_novel = novel.count()  # reads the checkpointed RDD, no recompute
     new_max_ordinal = max_ordinal + n_novel
 
     novel_frontier = novel.select(

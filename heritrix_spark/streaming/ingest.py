@@ -73,7 +73,12 @@ def start_candidate_ingest(
             batch_df, url_seen, max_ordinal=max_ordinal,
             lead_bound=None,
         )
-        novel = novel.persist()
+        # eager localCheckpoint (not persist): truncates the batch's
+        # logical plan so the 2-3 downstream write jobs analyze a
+        # LogicalRDD instead of re-analyzing the full schedule/dedup
+        # expression trees — same plan-truncation law as the batch
+        # round loop (plans/round.py)
+        novel = novel.localCheckpoint(eager=True)
         n_novel = novel.count()
 
         novel_frontier = novel.select(

@@ -3633,6 +3633,27 @@ _STREAM_CAND_SQL = """
 """.strip()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _fixture_shuffle(spark: SparkSession, n: int = 8):
+    """Row-local shuffle/state-partition sizing for the streaming
+    fixture rows: a Structured Streaming state store lays out
+    ``spark.sql.shuffle.partitions`` state partitions at FIRST
+    checkpoint and every micro-batch schedules a task per partition —
+    64 state tasks over a ~17k-event fixture is pure scheduling
+    overhead (the same partitions-fit-the-data law the batch plans
+    follow; a production stream sizes this to its executor count
+    before the first start). Restores the session value on exit."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _write_stream_feed_file(
     rows, feed_dir: str, k: int, n_files: int, n_docs: int, base_t: float
 ) -> str:
@@ -3711,15 +3732,16 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         feed = f"{tmp}/feed"
         base_t = _time.time() - 3600
-        for k in range(3):
-            # arrival round k: ONE new feed file lands, then a fresh
-            # availableNow query drains it against the same checkpoint
-            # + store (restart-with-state each round)
-            _write_stream_feed_file(rows, feed, k, 3, n_docs, base_t)
-            q = start_candidate_ingest(
-                spark, feed, f"{tmp}/store", f"{tmp}/ckpt"
-            )
-            q.awaitTermination(600)
+        with _fixture_shuffle(spark):
+            for k in range(3):
+                # arrival round k: ONE new feed file lands, then a fresh
+                # availableNow query drains it against the same checkpoint
+                # + store (restart-with-state each round)
+                _write_stream_feed_file(rows, feed, k, 3, n_docs, base_t)
+                q = start_candidate_ingest(
+                    spark, feed, f"{tmp}/store", f"{tmp}/ckpt"
+                )
+                q.awaitTermination(600)
         store = SnapStore(f"{tmp}/store", spark)
         out = (
             store.read("frontier")
@@ -3799,15 +3821,16 @@ def q_stateful_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "link_seq",
         )
         novel = dedup_stream(prepared, key="canon_url", n_shards=16)
-        q = (
-            novel.writeStream.format("memory")
-            .queryName("stateful_seen_out")
-            .outputMode("update")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
+        with _fixture_shuffle(spark):
+            q = (
+                novel.writeStream.format("memory")
+                .queryName("stateful_seen_out")
+                .outputMode("update")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
         out = (
             spark.table("stateful_seen_out")
             .select(
@@ -4106,33 +4129,36 @@ def q_streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         def sink(batch_df, _bid):
             batch_df.write.mode("append").parquet(out_dir)
 
-        for k in range(3):
-            fn = f"{feed}/f{k:02d}.json"
-            with open(fn, "w") as f:
-                for r in rows:
-                    if r["k"] == k:
-                        f.write(
-                            _json.dumps(
-                                {"ts": r["ts"], "host": r["host"],
-                                 "bytes": r["bytes"]}
+        with _fixture_shuffle(spark):
+            for k in range(3):
+                fn = f"{feed}/f{k:02d}.json"
+                with open(fn, "w") as f:
+                    for r in rows:
+                        if r["k"] == k:
+                            f.write(
+                                _json.dumps(
+                                    {"ts": r["ts"], "host": r["host"],
+                                     "bytes": r["bytes"]}
+                                )
+                                + "\n"
                             )
-                            + "\n"
-                        )
-            _os.utime(fn, (t0 + 60 * k, t0 + 60 * k))
-            stream = (
-                spark.readStream.schema("ts long, host string, bytes long")
-                .json(feed)
-                .withColumn("ts", F.timestamp_seconds("ts"))
-            )
-            agg = windowed_fetch_metrics(stream, window_s=600, delay_s=_WMM_DELAY)
-            q = (
-                agg.writeStream.foreachBatch(sink)
-                .outputMode("append")
-                .option("checkpointLocation", f"{tmp}/ckpt")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(600)
+                _os.utime(fn, (t0 + 60 * k, t0 + 60 * k))
+                stream = (
+                    spark.readStream.schema("ts long, host string, bytes long")
+                    .json(feed)
+                    .withColumn("ts", F.timestamp_seconds("ts"))
+                )
+                agg = windowed_fetch_metrics(
+                    stream, window_s=600, delay_s=_WMM_DELAY
+                )
+                q = (
+                    agg.writeStream.foreachBatch(sink)
+                    .outputMode("append")
+                    .option("checkpointLocation", f"{tmp}/ckpt")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(600)
         out = (
             spark.read.parquet(out_dir)
             .orderBy("window_start", "host")

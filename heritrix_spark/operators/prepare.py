@@ -182,11 +182,16 @@ def assign_ordinals(
     ``defer_count=True`` (fast path only) removes the per-batch driver
     action entirely: bucket offsets become a LAZY cumulative-sum window
     over the per-bucket counts (one row per bucket) broadcast-joined
-    back, and the returned count is ``None`` — the caller folds the
-    batch count into an aggregate it already collects (the round's
-    concurrent metrics job). The event-log audit (BENCH/PLANS.md)
-    showed this collect was ~15 AQE sub-jobs per round on the fixture
-    crawl — the largest driver action after the write pool.
+    back, and the returned count is ``None``. When to use which
+    (both directions A/B-measured, BENCH/PLANS.md): the crawl round
+    uses defer — its eager ``novel.localCheckpoint`` already provides
+    the materialization barrier, so the eager collect's ~15 AQE
+    sub-jobs bought nothing and the deferred path drops one
+    multi-stage driver action per round. One-shot batch callers
+    (the bench headline) keep the eager collect — its literal-map
+    offset attach is a pure projection in the same codegen stage,
+    whereas the deferred broadcast join serializes a build-side
+    materialization before the final stage and measured ~20% slower.
     """
     spark = df.sparkSession
     if num_buckets is None:

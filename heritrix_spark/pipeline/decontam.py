@@ -116,34 +116,45 @@ def cross_doc_ngram_overlap(
             "__gs"
         ),
     )
-    grams = staged.select(id_col, F.explode("__gs").alias("__g")).select(
-        id_col, md5_60(F.col("__g")).alias("__gh")
-    )
+    # single tokenization pass: carry the per-doc gram count through the
+    # explode (explode_outer keeps short/empty docs as one null-gram row)
+    # so the final per-doc row comes from ONE groupBy — no second
+    # tokenize-and-ngram pass and no doc-side join. The gram text is
+    # still hashed to md5-60 BEFORE the exchange.
+    grams = staged.select(
+        F.col(id_col),
+        F.size("__gs").cast("int").alias("n_grams"),
+        F.explode_outer("__gs").alias("__g"),
+    ).select(id_col, "n_grams", md5_60(F.col("__g")).alias("__gh"))
     w = Window.partitionBy("__gh")
-    shared = (
+    per_doc = (
         grams.withColumn("__ndocs", F.count("*").over(w))
-        .where(F.col("__ndocs") > 1)
         .groupBy(id_col)
-        .agg(F.count("*").cast("int").alias("shared_grams"))
-    )
-    n_grams = F.size("__gs").cast("int")
-    return (
-        staged.join(shared, on=id_col, how="left")
-        .select(
-            id_col,
-            n_grams.alias("n_grams"),
-            F.coalesce(F.col("shared_grams"), F.lit(0)).alias("shared_grams"),
-            F.when(
-                n_grams > 0,
-                F.round(
-                    F.coalesce(F.col("shared_grams"), F.lit(0)).cast("double")
-                    / n_grams.cast("double"),
-                    6,
-                ),
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.sum(
+                F.when(
+                    F.col("__gh").isNotNull() & (F.col("__ndocs") > 1), 1
+                ).otherwise(0)
             )
-            .otherwise(F.lit(0.0))
-            .alias("dup_frac"),
+            .cast("int")
+            .alias("shared_grams"),
         )
+    )
+    n_grams = F.col("n_grams")
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "shared_grams",
+        F.when(
+            n_grams > 0,
+            F.round(
+                F.col("shared_grams").cast("double") / n_grams.cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
     )
 
 

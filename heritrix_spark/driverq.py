@@ -1454,7 +1454,16 @@ def _fixture_crawl_log(spark: SparkSession) -> DataFrame:
             docs = spark.read.parquet(paths["docs"])
             seeds = spark.read.parquet(paths["seeds"])
             robots = spark.read.parquet(paths["robots"])
-            result = crawl(spark, f"{tmp}/store", docs, seeds, robots, _CRAWL_CFG)
+            # row-local shuffle sizing (same law as the streaming rows):
+            # the fixture crawl's explicit repartitions (ordinal buckets
+            # = shuffle conf) are not AQE-coalesced, so a 64-partition
+            # session schedules 64 tasks per exchange over a ~51-row
+            # crawl; ordinal determinism is bucket-count-independent
+            # (proven at 2/8/31-way in tests/test_ordering.py)
+            with _fixture_shuffle(spark):
+                result = crawl(
+                    spark, f"{tmp}/store", docs, seeds, robots, _CRAWL_CFG
+                )
             log = result.fetch_log().orderBy("round", "class_key", "ordinal")
             _CRAWL_CACHE["rows"] = log.collect()  # detach from tmp store
             _CRAWL_CACHE["schema"] = log.schema

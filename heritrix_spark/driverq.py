@@ -5565,3 +5565,127 @@ def q_http_header_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "seq")
     )
+
+
+# ------------------------------------------ 40. URL-level corpus filtering
+#
+# RefinedWeb §3.1 (Penedo et al. 2023): registered-domain blocklist +
+# weighted badword scoring over the URL string, before any text is
+# read. The blocklist joins on the frontier's own assignment-level
+# (PSL-reduced) queue key, so one entry covers every subdomain/port.
+
+_UF_SEGS = [
+    "news", "sports", "casino", "poker-webcam",
+    "mail", "free-bet", "crack-torrent", "wiki",
+]
+_UF_SEG_CASE = (
+    "case "
+    + " ".join(f"when doc_id % 8 = {i} then '{s}'" for i, s in enumerate(_UF_SEGS))
+    + " end"
+)
+_UF_BLOCKED = ["host7.example", "host23.example"]
+
+
+def _url_filter_oracle() -> str:
+    from heritrix_spark.functions.psl import (
+        assignment_level_class_key_py,
+        psl_rules_cte,
+        reduce_surt_sql,
+    )
+    from heritrix_spark.pipeline.urlfilter import (
+        DEFAULT_THRESHOLD_MILLI,
+        badword_score_sql,
+    )
+
+    keys = ", ".join(
+        f"'{assignment_level_class_key_py(f'http://{d}/')}'" for d in _UF_BLOCKED
+    )
+    ck = class_key_sql(canonicalize_sql("url"))
+    return f"""
+    with {psl_rules_cte()},
+    u as ({_DUCK_URLS}),
+    u2 as (select doc_id, url || '#' || {_UF_SEG_CASE} as url from u),
+    k as (select doc_id, url, {reduce_surt_sql(ck)} as domain_key,
+                 {badword_score_sql('url')} as badword_score_milli
+          from u2),
+    v as (select *, domain_key in ({keys}) as blocked_domain from k)
+    select cast(doc_id as bigint) as doc_id, url, domain_key,
+           blocked_domain, badword_score_milli,
+           case when blocked_domain then 'blocked_domain'
+                when badword_score_milli >= {DEFAULT_THRESHOLD_MILLI}
+                  then 'badword'
+                else 'keep' end as url_verdict
+    from v order by doc_id
+    """
+
+
+@register("url_filter", _url_filter_oracle())
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level corpus filter (RefinedWeb §3.1 analog): registered-
+    domain blocklist broadcast-joined on the PSL-reduced SURT key (the
+    AssignmentLevelSurtQueueAssignmentPolicy queue key,
+    heritrix3/engine/.../AssignmentLevelSurtQueueAssignmentPolicy.java:30-40)
+    + pure-codegen weighted badword scoring of the URL string. The
+    corpus side never shuffles; blocked documents' text columns are
+    never scanned (pipeline/urlfilter.py)."""
+    from heritrix_spark.pipeline.urlfilter import blocklist_df, url_filter
+
+    u = _docs_urls(spark, sf_dir).selectExpr(
+        "doc_id", f"url || '#' || {_UF_SEG_CASE} as url"
+    )
+    bl = blocklist_df(spark, _UF_BLOCKED)
+    return (
+        url_filter(u, bl)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "url",
+            "domain_key",
+            "blocked_domain",
+            "badword_score_milli",
+            "url_verdict",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------- 41. hashed linear classifier scoring
+#
+# fastText-style quality-classifier scoring (Joulin et al. 2016;
+# hashing trick per Weinberger et al. 2009): unigram+bigram features →
+# md5-60 → bucket → literal weight array, folded row-locally in exact
+# integer milli-units. Zero shuffles, zero Python.
+
+_CLF_WEIGHTS_K = 256
+_CLF_BIAS_MILLI = -1500
+
+
+def _clf_oracle() -> str:
+    from heritrix_spark.pipeline.classifier import (
+        demo_weights_milli,
+        hashed_linear_score_sql,
+    )
+
+    return (
+        hashed_linear_score_sql(
+            demo_weights_milli(_CLF_WEIGHTS_K), bias_milli=_CLF_BIAS_MILLI
+        )
+        + " order by doc_id"
+    )
+
+
+@register("hashed_classifier_score", _clf_oracle())
+def q_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier scoring (pipeline/classifier.py):
+    the learned-quality-filter scoring pass as ONE whole-stage-codegen
+    projection — tokens + word bigrams hashed to md5-60 buckets against
+    a literal weight vector, integer-milli logit so the result is
+    partitioning- and dialect-exact."""
+    from heritrix_spark.pipeline.classifier import (
+        demo_weights_milli,
+        hashed_linear_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hashed_linear_score(
+        docs, demo_weights_milli(_CLF_WEIGHTS_K), bias_milli=_CLF_BIAS_MILLI
+    ).orderBy("doc_id")

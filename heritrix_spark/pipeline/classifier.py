@@ -1,0 +1,145 @@
+"""Hashing-trick linear text classifier scoring (fastText-style).
+
+The standard learned quality filter in web-corpus pipelines (GPT-3 /
+CCNet / RefinedWeb ablations): a linear model over hashed bag-of-words
++ word-bigram features (Joulin et al. 2016, "Bag of Tricks"; hashing
+trick per Weinberger et al. 2009).  This module implements the
+*scoring* side — the part that must run over 100 TB — as a pure-JVM
+fold; training happens offline and ships as a weight vector.
+
+Exact-arithmetic contract: weights are integer milli-units and the
+document score is the integer sum of its feature weights
+(``logit_milli``), so the result is independent of accumulation order,
+partitioning, and float dialect — a SQL oracle replays it bit-exactly.
+The fractional score is ``sigmoid(logit_milli / 1000)`` applied by the
+caller at the edge if needed.
+
+Feature map: token/bigram → md5-60 (portable 60-bit hash,
+pipeline/dedup.py) → ``% n_buckets`` → weight array lookup.
+
+Scale shape: ONE projection — tokens split row-locally, features
+hashed and folded via ``F.aggregate`` against a literal weight array
+(the driver-literal pattern shared with the LSH hyperplanes and the
+unigram LM map).  Zero shuffles, zero Python, whole-stage-codegen'd.
+For weight vectors too large for a plan literal (>~64k buckets), the
+same score is explode → broadcast-join on bucket → one doc-keyed sum;
+the oracle-pinned path here is the literal fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from heritrix_spark.pipeline.dedup import md5_60
+from heritrix_spark.pipeline.textstats import tokens_col
+
+DEFAULT_BUCKETS = 256
+
+
+def demo_weights_milli(n_buckets: int = DEFAULT_BUCKETS) -> list[int]:
+    """Deterministic stand-in weight vector (no trained binaries exist
+    in this sandbox): ``w[i] = ((i*2654435761) % 1997) - 998`` —
+    Knuth-multiplicative spread over [-998, 998] milli.  A real model's
+    exported weights drop into the same slot."""
+    return [((i * 2654435761) % 1997) - 998 for i in range(n_buckets)]
+
+
+def feature_bucket_col(feature: Column, n_buckets: int) -> Column:
+    """md5-60 of the feature string, reduced to a bucket index.
+    md5-60 is non-negative (60-bit), so ``%`` is safe in both
+    dialects."""
+    return (md5_60(feature) % F.lit(n_buckets)).cast("int")
+
+
+def _bigrams(toks: Column) -> Column:
+    """Word bigrams as 'a_b' strings, row-local (fastText wordNgrams=2).
+    Empty/one-token docs yield an empty array."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    weights_milli: list[int],
+    bias_milli: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bigrams: bool = True,
+) -> DataFrame:
+    """Score every document under the hashed linear model.
+
+    Returns (``id_col``, ``n_features``, ``logit_milli``, ``keep``):
+    ``logit_milli = bias + Σ weights[md5_60(f) % K]`` over the
+    document's unigram (+ bigram) features in order; ``keep`` is the
+    sign decision ``logit_milli > 0`` (the binary quality label).
+    Integer sum → order-independent and oracle-exact."""
+    k = len(weights_milli)
+    if k == 0:
+        raise ValueError("weights_milli must be non-empty")
+    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights_milli])
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    feats = F.concat(toks, _bigrams(toks)) if bigrams else toks
+    staged = docs.select(F.col(id_col), feats.alias("__feats"), warr.alias("__w"))
+    logit = F.lit(int(bias_milli)).cast("long") + F.aggregate(
+        F.col("__feats"),
+        F.lit(0).cast("long"),
+        lambda acc, f: acc + F.element_at(F.col("__w"), feature_bucket_col(f, k) + 1),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("__feats").cast("int").alias("n_features"),
+        logit.alias("logit_milli"),
+        (logit > 0).alias("keep"),
+    )
+
+
+def hashed_linear_score_sql(
+    weights_milli: list[int],
+    bias_milli: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bigrams: bool = True,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`hashed_linear_score` (dialect-subset SQL):
+    unnest features, same md5-60 bucket, same literal weight list."""
+    k = len(weights_milli)
+    wlist = "[" + ", ".join(str(int(w)) for w in weights_milli) + "]"
+    toks = (
+        rf"list_filter(string_split_regex(lower(coalesce({text_col}, '')), '\s+'),"
+        r" t -> t <> '')"
+    )
+    big = (
+        "case when len(toks) >= 2 then "
+        "list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]) "
+        "else []::VARCHAR[] end"
+    )
+    feats = f"list_concat(toks, {big})" if bigrams else "toks"
+    return f"""
+    with staged as (
+      select {id_col}, {feats} as feats
+      from (select {id_col}, {toks} as toks from {source}) t
+    ),
+    perdoc as (
+      select {id_col}, len(feats) as n_features,
+             {bias_milli} + coalesce((
+               select sum(({wlist})[
+                 cast(('0x' || substr(md5(f.f), 1, 15))::BIGINT % {k} as int) + 1])
+               from unnest(staged.feats) as f(f)
+             ), 0) as logit
+      from staged
+    )
+    select {id_col}, cast(n_features as int) as n_features,
+           cast(logit as bigint) as logit_milli,
+           logit > 0 as keep
+    from perdoc
+    """.strip()

@@ -41,6 +41,18 @@ Two table modes:
 
 Resume = read MANIFEST.json and continue from ``round + 1``
 (bit-identical: all round inputs are functions of committed state).
+
+Snapshot history (Iceberg time-travel / rollback analog): every commit
+also records itself under ``snapshots/r<round>.json`` —
+``read(table, as_of_round=N)`` reads any retained round's committed
+state, and ``rollback(N)`` atomically restores the store to round N
+(resume then re-crawls N+1 onward; later rounds' partitions are
+replaced wholesale by the idempotent per-round writes). Compaction
+expires snapshots older than the compaction round — their delta
+partitions were vacuumed — exactly Iceberg's expire-snapshots bound on
+how far back time travel reaches; an expired read raises
+:class:`SnapshotExpiredError` rather than silently returning partial
+rows.
 """
 
 from __future__ import annotations
@@ -56,8 +68,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MANIFEST = "MANIFEST.json"
+SNAPSHOT_DIR = "snapshots"  # per-round manifest history (time travel)
 SCHEMA_SIDECAR = "_SCHEMA.json"  # leading "_": invisible to Spark's file lister
 DELTA_COL = "__delta_round"  # partition column; never collides with data cols
+
+
+class SnapshotExpiredError(LookupError):
+    """The requested snapshot (or data it references) was expired by a
+    later compaction — the Iceberg expire-snapshots boundary."""
 
 FULL_TABLES = ("host_state", "future_uris")
 DELTA_TABLES = (
@@ -117,6 +135,15 @@ class SnapStore:
                 rounds.append(round_no)
                 tables[t] = {"mode": "delta", "rounds": rounds}
         manifest = {"round": round_no, "meta": meta, "tables": tables}
+        # snapshot-history entry first (an orphan from a crash here is
+        # overwritten when the round re-runs), MANIFEST last — the
+        # manifest replace stays the single commit point
+        snap_dir = os.path.join(self.root, SNAPSHOT_DIR)
+        os.makedirs(snap_dir, exist_ok=True)
+        snap_tmp = os.path.join(snap_dir, f"r{round_no:06d}.json.tmp")
+        with open(snap_tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(snap_tmp, snap_tmp[: -len(".tmp")])
         tmp = os.path.join(self.root, MANIFEST + ".tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
@@ -125,9 +152,14 @@ class SnapStore:
         # expire-snapshots analog: superseded partitions of a compacted
         # table are dead to every future reader (the manifest no longer
         # lists them) — drop the directories so the file lister stays
-        # O(live partitions)
+        # O(live partitions), and expire the snapshot-history entries
+        # that referenced them (older than the compaction round)
         for t, keep in compacted:
             self._vacuum(t, keep)
+        if compacted:
+            for name in os.listdir(snap_dir):
+                if name.endswith(".json") and name < f"r{round_no:06d}.json":
+                    os.unlink(os.path.join(snap_dir, name))
 
     # -------------------------------------------------------------- tables
 
@@ -193,15 +225,26 @@ class SnapStore:
         with self._stage_lock:
             self._staged[table] = "delta_reset" if reset else "delta"
 
-    def read(self, table: str) -> DataFrame | None:
+    def read(self, table: str, as_of_round: int | None = None) -> DataFrame | None:
         """Read the committed state of a table (manifest-driven).
 
         Delta tables come back as ONE schema-pinned relation over the
         table root with a partition filter on the committed rounds —
         plan size and read-side planning cost are O(1) in the round
         count (the lister walks only live partitions thanks to the
-        commit-time vacuum)."""
-        m = self.manifest()
+        commit-time vacuum).
+
+        ``as_of_round`` time-travels: the read follows that round's
+        retained snapshot manifest instead of the current one, raising
+        :class:`SnapshotExpiredError` if the snapshot was expired by a
+        later compaction. A *retained* snapshot's data is guaranteed
+        intact: vacuum only ever runs together with the commit that
+        deletes the older snapshot files, so expiry is detected at the
+        snapshot file — never as silently missing partitions."""
+        if as_of_round is None:
+            m = self.manifest()
+        else:
+            m = self._snapshot(as_of_round)
         if not m or table not in m["tables"]:
             return None
         entry = m["tables"][table]
@@ -215,11 +258,53 @@ class SnapStore:
             schema = T.StructType.fromJson(json.load(f))
         if DELTA_COL not in schema.fieldNames():
             schema = schema.add(DELTA_COL, T.IntegerType())
-        df = self.spark.read.schema(schema).parquet(root)
         rounds = list(entry.get("rounds", []))
         if not rounds:
             return None
+        df = self.spark.read.schema(schema).parquet(root)
         return df.filter(F.col(DELTA_COL).isin(rounds)).drop(DELTA_COL)
+
+    # ---------------------------------------------------- snapshot history
+
+    def _snapshot(self, round_no: int) -> dict[str, Any]:
+        path = os.path.join(self.root, SNAPSHOT_DIR, f"r{round_no:06d}.json")
+        if not os.path.exists(path):
+            raise SnapshotExpiredError(
+                f"no retained snapshot for round {round_no} "
+                "(never committed, expired by compaction, or dropped by rollback)"
+            )
+        with open(path) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[int]:
+        """Rounds with retained (time-travelable) snapshots, ascending."""
+        snap_dir = os.path.join(self.root, SNAPSHOT_DIR)
+        if not os.path.isdir(snap_dir):
+            return []
+        return sorted(
+            int(n[1:-5])
+            for n in os.listdir(snap_dir)
+            if n.startswith("r") and n.endswith(".json")
+        )
+
+    def rollback(self, round_no: int) -> None:
+        """Atomically restore the store to round ``round_no``'s committed
+        state (Iceberg rollback-to-snapshot). Later rounds' snapshot
+        entries are dropped — a resumed crawl re-runs ``round_no + 1``
+        onward and its idempotent per-round writes replace their
+        partitions wholesale, so the dropped history would reference
+        rewritten data."""
+        m = self._snapshot(round_no)
+        tmp = os.path.join(self.root, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, os.path.join(self.root, MANIFEST))
+        with self._stage_lock:
+            self._staged = {}
+        snap_dir = os.path.join(self.root, SNAPSHOT_DIR)
+        for name in os.listdir(snap_dir):
+            if name.endswith(".json") and name > f"r{round_no:06d}.json":
+                os.unlink(os.path.join(snap_dir, name))
 
     def _vacuum(self, table: str, keep_rounds: list[int]) -> None:
         root = self._delta_root(table)

@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-rounds", type=int, default=10_000)
     p.add_argument("--reconsider-retired", action="store_true",
                    help="un-retire retired queues once at start (changed budgets)")
+    p.add_argument("--rollback", type=int, metavar="ROUND",
+                   help="first roll the store back to this committed round's "
+                        "snapshot (Iceberg rollback analog), then resume — "
+                        "rounds after it are re-crawled bit-identically")
     p.add_argument("--local", type=int, metavar="CORES",
                    help="run without spark-submit on local[CORES] (smoke mode)")
     args = p.parse_args(argv)
@@ -86,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
         seeds = spark.read.parquet(args.seeds)
         robots = spark.read.parquet(args.robots)
     host_config = spark.read.parquet(args.host_config) if args.host_config else None
+
+    if args.rollback is not None:
+        from heritrix_spark.store.snapstore import SnapStore
+
+        SnapStore(args.store, spark).rollback(args.rollback)
 
     result = crawl(
         spark,

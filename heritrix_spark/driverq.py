@@ -5685,7 +5685,14 @@ def q_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_linear_score,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sf tables are single parquet files → a single scan partition
+    # would serialize the per-feature md5 fold on one core; spread the
+    # rows first (result is partitioning-exact — integer sums). At
+    # production scale the input is already thousands of files and this
+    # repartition disappears.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return hashed_linear_score(
         docs, demo_weights_milli(_CLF_WEIGHTS_K), bias_milli=_CLF_BIAS_MILLI
     ).orderBy("doc_id")

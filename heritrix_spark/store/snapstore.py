@@ -151,15 +151,23 @@ class SnapStore:
         self._staged = {}
         # expire-snapshots analog: superseded partitions of a compacted
         # table are dead to every future reader (the manifest no longer
-        # lists them) — drop the directories so the file lister stays
-        # O(live partitions), and expire the snapshot-history entries
-        # that referenced them (older than the compaction round)
+        # lists them). ORDER MATTERS for the crash window: the expired
+        # snapshot-history files are unlinked BEFORE their partitions
+        # are vacuumed — a kill in between leaves orphan partitions
+        # (harmless: excluded by every manifest, reclaimed by the next
+        # compaction) instead of retained snapshots pointing at deleted
+        # data (which would read as silently-partial history).
+        # Stale future-round snapshots (possible only from a crashed
+        # rollback) are likewise invalid by definition once this commit
+        # makes round_no the latest — drop them too.
+        cur = f"r{round_no:06d}.json"
+        for name in os.listdir(snap_dir):
+            if not name.endswith(".json"):
+                continue
+            if (compacted and name < cur) or name > cur:
+                os.unlink(os.path.join(snap_dir, name))
         for t, keep in compacted:
             self._vacuum(t, keep)
-        if compacted:
-            for name in os.listdir(snap_dir):
-                if name.endswith(".json") and name < f"r{round_no:06d}.json":
-                    os.unlink(os.path.join(snap_dir, name))
 
     # -------------------------------------------------------------- tables
 
@@ -295,16 +303,22 @@ class SnapStore:
         partitions wholesale, so the dropped history would reference
         rewritten data."""
         m = self._snapshot(round_no)
+        # drop the newer history BEFORE the manifest swap: a kill in
+        # between loses only time-travel entries (conservative — as-of
+        # reads for them raise) and a re-run completes the rollback; the
+        # reverse order could leave rolled-back-round snapshots retained
+        # past the swap, to be silently invalidated by later re-crawled
+        # rounds' partition rewrites
+        snap_dir = os.path.join(self.root, SNAPSHOT_DIR)
+        for name in os.listdir(snap_dir):
+            if name.endswith(".json") and name > f"r{round_no:06d}.json":
+                os.unlink(os.path.join(snap_dir, name))
         tmp = os.path.join(self.root, MANIFEST + ".tmp")
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
         os.replace(tmp, os.path.join(self.root, MANIFEST))
         with self._stage_lock:
             self._staged = {}
-        snap_dir = os.path.join(self.root, SNAPSHOT_DIR)
-        for name in os.listdir(snap_dir):
-            if name.endswith(".json") and name > f"r{round_no:06d}.json":
-                os.unlink(os.path.join(snap_dir, name))
 
     def _vacuum(self, table: str, keep_rounds: list[int]) -> None:
         root = self._delta_root(table)

@@ -100,3 +100,35 @@ def test_rollback_drops_newer_snapshots(spark, tmp_path):
     assert store.snapshots() == [1, 2]
     assert store.manifest()["round"] == 2
     assert store.read("fetch_log").count() == 4  # rounds 1+2 only
+
+
+def test_compaction_crash_window_never_silently_partial(spark, tmp_path, monkeypatch):
+    """Kill between the commit's snapshot-expiry unlink and the
+    partition vacuum: expired history must already be GONE (as-of read
+    raises) rather than retained-but-pointing-at-deleted-data (as-of
+    read silently partial). Pins the unlink-before-vacuum ordering."""
+    store = SnapStore(str(tmp_path / "cw"), spark)
+    df = spark.range(3).select(F.col("id").alias("v"))
+    store.write_delta(df, "fetch_log", 1)
+    store.commit_round(1, {})
+    store.write_delta(df, "fetch_log", 2)
+    store.commit_round(2, {})
+
+    calls = {"n": 0}
+
+    def killed_vacuum(table, keep):  # the simulated SIGKILL point
+        calls["n"] += 1
+        raise RuntimeError("killed before vacuum")
+
+    monkeypatch.setattr(store, "_vacuum", killed_vacuum)
+    store.write_delta(store.read("fetch_log"), "fetch_log", 3, reset=True)
+    with pytest.raises(RuntimeError):
+        store.commit_round(3, {})
+    assert calls["n"] == 1
+
+    # manifest committed, expired snapshots unlinked, partitions orphaned
+    assert store.manifest()["round"] == 3
+    assert store.snapshots() == [3]
+    assert store.read("fetch_log").count() == 6
+    with pytest.raises(SnapshotExpiredError):
+        store.read("fetch_log", as_of_round=1)

@@ -76,7 +76,7 @@ def test_url_filter_plan_no_corpus_shuffle(spark):
     )
     bl = blocklist_df(spark, ["h3.example"])
     plan = url_filter(df, bl)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" not in plan
     import re
 
     # shuffle exchanges only allowed below the broadcast side (none expected)

@@ -5696,3 +5696,74 @@ def q_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_score(
         docs, demo_weights_milli(_CLF_WEIGHTS_K), bias_milli=_CLF_BIAS_MILLI
     ).orderBy("doc_id")
+
+
+# ---------------------------------- 42. contaminated-span removal
+#
+# The removal variant of decontaminate_ngram (Lee et al. 2022 §4.2 cut
+# matched substrings; C4 removes offending lines): tokens covered by
+# any benchmark-matching 13-gram are cut, text rebuilt row-locally.
+
+@register(
+    "decontaminate_removal",
+    f"""
+    with t as (select doc_id, {_DECON_TOKS} as toks from documents),
+    bench as (select distinct array_to_string(toks[4:16], ' ') as ng
+              from t where doc_id % 29 = 0 and len(toks) >= 16),
+    cg as (select doc_id,
+                  unnest(range(1, len(toks) - 11)) as i,
+                  unnest(list_transform(
+                    range(1, len(toks) - 11),
+                    i -> array_to_string(toks[i:i+12], ' '))) as ng
+           from t where doc_id % 29 <> 0 and len(toks) >= 13),
+    m as (select doc_id, list_sort(list(i)) as starts,
+                 cast(count(*) as int) as matched_spans
+          from cg join bench using (ng) group by doc_id),
+    r as (select t.doc_id, t.toks,
+                 coalesce(m.starts, []) as starts,
+                 coalesce(m.matched_spans, 0) as matched_spans
+          from t left join m using (doc_id) where t.doc_id % 29 <> 0),
+    k as (select doc_id, toks, starts, matched_spans,
+                 list_filter(
+                   list_transform(range(1, len(toks) + 1),
+                     j -> case when len(list_filter(starts,
+                                 s -> j >= s and j < s + 13)) > 0
+                               then null else toks[j] end),
+                   x -> x is not null) as kept
+          from r)
+    select cast(doc_id as bigint) as doc_id,
+           cast(len(toks) as int) as n_tokens,
+           matched_spans,
+           cast(len(toks) - len(kept) as int) as tokens_removed,
+           array_to_string(kept, ' ') as clean_text
+    from k order by doc_id
+    """,
+)
+def q_decontaminate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated-span REMOVAL (pipeline/decontam.py
+    remove_contaminated_spans): benchmark 13-grams broadcast, matched
+    start positions aggregated per doc, coverage mask + text rebuild as
+    row-local higher-order expressions — only (doc_id, start) pairs
+    ever shuffle, never the text."""
+    from heritrix_spark.pipeline.decontam import remove_contaminated_spans
+    from heritrix_spark.pipeline.textstats import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_col(F.col("text"))
+    bench = (
+        docs.filter(F.col("doc_id") % 29 == 0)
+        .filter(F.size(toks) >= 16)
+        .select(F.array_join(F.slice(toks, 4, 13), " ").alias("text"))
+    )
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    return (
+        remove_contaminated_spans(corpus, bench, n=13)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_tokens",
+            "matched_spans",
+            "tokens_removed",
+            "clean_text",
+        )
+        .orderBy("doc_id")
+    )

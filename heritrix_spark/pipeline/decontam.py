@@ -216,3 +216,69 @@ def repetition_stats(
         .cast("int")
         .alias("dup5_tokens"),
     )
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Cut contaminated spans out instead of dropping whole documents —
+    the removal variant of :func:`decontaminate` (Lee et al. 2022 §4.2
+    remove matched substrings; C4 removes offending lines).  Every
+    token covered by ANY benchmark-matching word ``n``-gram is removed;
+    overlapping matches merge naturally through the coverage test.
+
+    Returns (id_col, n_tokens, matched_spans, tokens_removed,
+    clean_text): ``matched_spans`` counts matched gram START positions
+    (a repeated contaminated gram counts each occurrence);
+    ``clean_text`` is the kept tokens re-joined with single spaces
+    (token-normalized, as in the reference implementations, which
+    operate on token sequences).
+
+    Scale shape: benchmark n-grams broadcast; the corpus side ships
+    only (doc_id, matched start) pairs — rare by construction — back
+    through one doc-keyed aggregation; the coverage mask and the text
+    rebuild are row-local higher-order expressions (O(tokens x matched
+    spans) per row), no Python anywhere."""
+    bench_ngrams = (
+        benchmark.select(
+            F.explode(
+                ngrams_col(tokens_col(F.col(bench_text_col)), n)
+            ).alias("ng")
+        )
+        .distinct()
+    )
+    staged = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    # posexplode index k = 0-based token index of the gram's first token
+    doc_grams = staged.select(
+        F.col(id_col),
+        F.posexplode(ngrams_col(F.col("__toks"), n)).alias("__pos", "ng"),
+    )
+    starts = (
+        doc_grams.join(F.broadcast(bench_ngrams), on="ng", how="inner")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__starts"))
+    )
+    out = staged.join(starts, on=id_col, how="left").withColumn(
+        "__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, j: ~F.exists(
+            F.col("__starts"), lambda s: (j >= s) & (j < s + F.lit(n))
+        ),
+    )
+    n_toks = F.size("__toks").cast("int")
+    return out.select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        F.size("__starts").cast("int").alias("matched_spans"),
+        (n_toks - F.size(kept)).cast("int").alias("tokens_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -154,3 +154,51 @@ def test_cross_doc_ngram_overlap_matches_py_twin(spark):
         for r in cross_doc_ngram_overlap(df, n=n).collect()
     }
     assert got == exp
+
+
+def test_remove_contaminated_spans_twin(spark):
+    """Planted-overlap removal: coverage mask equals the pure-Python
+    union-of-spans twin, including MERGED overlapping matches (union of
+    spans, not 2n tokens) and repeated-gram occurrences."""
+    from heritrix_spark.pipeline.decontam import remove_contaminated_spans
+
+    n = 3
+    bench_texts = ["b1 b2 b3", "b2 b3 b4"]
+    docs = [
+        (0, "a1 b1 b2 b3 b4 a2 a3"),     # two overlapping matches -> union [1,5)
+        (1, "b1 b2 b3 x b1 b2 b3"),      # repeated gram -> two spans
+        (2, "clean text only here"),
+        (3, "b1 b2"),                    # shorter than n
+        (4, ""),
+    ]
+
+    def twin(text):
+        toks = [t for t in text.lower().split() if t]
+        bench = set()
+        for bt in bench_texts:
+            bt_toks = bt.split()
+            for i in range(len(bt_toks) - n + 1):
+                bench.add(" ".join(bt_toks[i : i + n]))
+        starts = [
+            i
+            for i in range(len(toks) - n + 1)
+            if " ".join(toks[i : i + n]) in bench
+        ]
+        covered = {j for s in starts for j in range(s, s + n)}
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        return len(toks), len(starts), len(toks) - len(kept), " ".join(kept)
+
+    docs_df = spark.createDataFrame(docs, "doc_id int, text string")
+    bench_df = spark.createDataFrame([(t,) for t in bench_texts], "text string")
+    rows = {
+        r.doc_id: r
+        for r in remove_contaminated_spans(docs_df, bench_df, n=n).collect()
+    }
+    for doc_id, text in docs:
+        want = twin(text)
+        r = rows[doc_id]
+        got = (r.n_tokens, r.matched_spans, r.tokens_removed, r.clean_text)
+        assert got == want, (doc_id, got, want)
+    # the planted cases actually exercise merge + repeat
+    assert rows[0].tokens_removed == 4 and rows[0].matched_spans == 2
+    assert rows[1].matched_spans == 2 and rows[1].tokens_removed == 6

@@ -5767,3 +5767,48 @@ def q_decontaminate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------- 43. C4 text-level badword filter
+#
+# Document-side sibling of url_filter (Raffel et al. 2020 §2.2): the
+# same weighted list, word-boundary matched over the text. The fixture
+# plants list words by appending the url_filter segment derivation.
+
+def _text_badword_oracle() -> str:
+    from heritrix_spark.pipeline.urlfilter import text_badword_filter_sql
+
+    inner = text_badword_filter_sql(source="planted")
+    return f"""
+    with planted as (
+      select doc_id, text || ' ' || {_UF_SEG_CASE} as text from documents
+    )
+    select cast(doc_id as bigint) as doc_id, badword_score_milli,
+           text_verdict
+    from ({inner}) t order by doc_id
+    """
+
+
+@register("text_badword_docs", _text_badword_oracle())
+def q_text_badword_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style document badword filter (pipeline/urlfilter.py
+    text_badword_filter): word-boundary RLIKE probes of the shared
+    weighted list over the text column — one codegen projection, no
+    shuffle, no Python; URL and content policy share one list."""
+    from heritrix_spark.pipeline.urlfilter import text_badword_filter
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    planted = spark.sql(
+        f"select doc_id, text || ' ' || {_UF_SEG_CASE} as text from documents"
+    )
+    return (
+        text_badword_filter(planted)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "badword_score_milli",
+            "text_verdict",
+        )
+        .orderBy("doc_id")
+    )

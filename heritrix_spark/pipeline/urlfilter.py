@@ -135,3 +135,57 @@ def url_filter(
         .when(F.col("badword_score_milli") >= F.lit(threshold_milli), F.lit("badword"))
         .otherwise(F.lit("keep")),
     )
+
+
+def text_badword_filter(
+    docs: DataFrame,
+    words: tuple[tuple[str, int], ...] = BADWORDS_MILLI,
+    threshold_milli: int = DEFAULT_THRESHOLD_MILLI,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The C4-style document-level "bad words" drop (Raffel et al. 2020
+    §2.2 drop any page containing a list word; RefinedWeb soft-scores
+    instead) — the text-side sibling of :func:`url_filter`, sharing the
+    weighted list so URL and content policy stay consistent.
+
+    Word-boundary matching (C4 matches words, not substrings): each
+    probe is an RLIKE on ``(^|non-alnum)word(non-alnum|$)`` over the
+    lowercased text — still a pure codegen projection, no shuffle, no
+    Python.  Returns (id_col, badword_score_milli, text_verdict
+    'badword'|'keep')."""
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    score: Column = F.lit(0).cast("long")
+    for w, wt in words:
+        probe = low.rlike(rf"(^|[^a-z0-9]){w}([^a-z0-9]|$)")
+        score = score + F.when(probe, F.lit(wt)).otherwise(F.lit(0)).cast("long")
+    return docs.select(
+        F.col(id_col),
+        score.alias("badword_score_milli"),
+        F.when(score >= F.lit(threshold_milli), F.lit("badword"))
+        .otherwise(F.lit("keep"))
+        .alias("text_verdict"),
+    )
+
+
+def text_badword_filter_sql(
+    words: tuple[tuple[str, int], ...] = BADWORDS_MILLI,
+    threshold_milli: int = DEFAULT_THRESHOLD_MILLI,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`text_badword_filter` (RE2 ∩ Java regex
+    dialect subset — same boundary class both sides)."""
+    probes = " + ".join(
+        f"case when regexp_matches(lower(coalesce({text_col}, '')), "
+        f"'(^|[^a-z0-9]){w}([^a-z0-9]|$)') then {wt} else 0 end"
+        for w, wt in words
+    )
+    return f"""
+    select {id_col},
+           cast({probes} as bigint) as badword_score_milli,
+           case when ({probes}) >= {threshold_milli} then 'badword'
+                else 'keep' end as text_verdict
+    from {source}
+    """.strip()

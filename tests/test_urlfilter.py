@@ -81,3 +81,27 @@ def test_url_filter_plan_no_corpus_shuffle(spark):
 
     # shuffle exchanges only allowed below the broadcast side (none expected)
     assert not re.search(r"Exchange hashpartitioning", plan), plan
+
+
+def test_text_badword_filter_word_boundaries(spark):
+    """C4 matches WORDS, not substrings: 'bet' must not fire inside
+    'alphabet'/'betting', must fire at punctuation/hyphen boundaries,
+    start/end of text, and case-insensitively."""
+    from heritrix_spark.pipeline.urlfilter import text_badword_filter
+
+    docs = [
+        (0, "the alphabet and betting are fine", 0, "keep"),
+        (1, "place a bet now", 300, "keep"),
+        (2, "CASINO!", 1000, "badword"),
+        (3, "free-bet and poker-webcam tonight", 1500, "badword"),
+        (4, "bet", 300, "keep"),
+        (5, None, 0, "keep"),
+        (6, "viagra, pills; warez", 2600, "badword"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in docs], "doc_id int, text string"
+    )
+    rows = {r.doc_id: r for r in text_badword_filter(df).collect()}
+    for i, t, want_score, want_verdict in docs:
+        assert rows[i].badword_score_milli == want_score, t
+        assert rows[i].text_verdict == want_verdict, t

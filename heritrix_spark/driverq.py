@@ -5812,3 +5812,125 @@ def q_text_badword_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------- 44. crawl.log text-line rendering
+#
+# UriProcessingFormatter.format (engine/.../io/UriProcessingFormatter.java:69-158)
+# — the reference's actual crawl.log line, rendered as one codegen
+# projection (operators/logformat.py). The derivation exercises every
+# branch: pad-no-truncate widths, -1/0 length fallbacks, null/comma/
+# semicolon/leading-space mimetypes, >3-digit threads, missing
+# completion time, empty/null via+digest+source, annotation joining.
+
+_CLL_FIELDS = """
+  cast(1405980721000 + doc_id * 1007 as bigint) as time_ms,
+  cast(case when doc_id % 5 = 0 then -1 when doc_id % 5 = 1 then 0
+            else (doc_id * 13) % 2000000000 end as bigint) as content_length,
+  cast(case when doc_id % 7 = 0 then 0 else doc_id % 4096 end as bigint)
+    as content_size,
+  case when doc_id % 6 = 0 then 'text/html; charset=UTF-8'
+       when doc_id % 6 = 1 then 'text/plain'
+       when doc_id % 6 = 2 then cast(null as string)
+       when doc_id % 6 = 3 then 'image/png,image/gif'
+       when doc_id % 6 = 4 then ' text/css'
+       else 'application/pdf' end as mime,
+  cast(doc_id % 1100 as int) as thread_num,
+  cast(1405980721000 + doc_id * 1007 - (doc_id % 5000) as bigint) as began_ms,
+  cast(case when doc_id % 3 = 0 then null
+            else 1405980721000 + doc_id * 1007 end as bigint) as completed_ms,
+  case when doc_id % 4 = 0 then cast(null as string)
+       when doc_id % 4 = 1 then ''
+       else 'sha1:2JMJ7L5RSW0YVB' || cast(doc_id % 97 as string) end as digest,
+  case when doc_id % 2 = 0 then cast(null as string)
+       else 'seed' || cast(doc_id % 9 as string) end as source_tag,
+  case when doc_id % 3 = 0 then cast(null as string)
+       when doc_id % 3 = 1 then ''
+       else 'http://host' || cast(doc_id % 40 as string) || '.example/' end
+    as via
+""".strip()
+
+
+def _crawl_log_lines_oracle() -> str:
+    from heritrix_spark.operators.logformat import (
+        log17_date_sql,
+        mimetype_truncate_sql,
+        na_if_empty_sql,
+        pad_to_sql,
+        ts17_sql,
+    )
+
+    duck_fields = _CLL_FIELDS.replace("as string", "as varchar")
+    len_str = (
+        "case when content_length >= 0 then cast(content_length as varchar) "
+        "when content_size > 0 then cast(content_size as varchar) "
+        "else '-' end"
+    )
+    arc_time = (
+        f"case when completed_ms is not null then {ts17_sql('began_ms')} || '+' "
+        "|| cast(completed_ms - began_ms as varchar) else '-' end"
+    )
+    anno = (
+        "case when doc_id % 4 = 0 then 'lenTrunc' "
+        "when doc_id % 4 = 1 then '3t,dupBy:8' else '-' end"
+    )
+    line = (
+        f"{log17_date_sql('time_ms')} || ' ' || "
+        f"{pad_to_sql('cast(fetch_status as varchar)', 5)} || ' ' || "
+        f"{pad_to_sql(len_str, 10)} || ' ' || url || ' ' || "
+        f"{na_if_empty_sql('hops_path')} || ' ' || "
+        f"{na_if_empty_sql('via')} || ' ' || "
+        f"{mimetype_truncate_sql('mime')} || ' #' || "
+        f"{pad_to_sql('cast(thread_num as varchar)', 3, '0')} || ' ' || "
+        f"{arc_time} || ' ' || "
+        f"{na_if_empty_sql('digest')} || ' ' || "
+        f"{na_if_empty_sql('source_tag')} || ' ' || {anno}"
+    )
+    return f"""
+    with u as ({_DUCK_URLS}),
+    d as (select doc_id, url, fetch_status, hops_path, {duck_fields} from u)
+    select cast(doc_id as bigint) as doc_id, {line} as log_line
+    from d order by doc_id
+    """
+
+
+@register("crawl_log_lines", _crawl_log_lines_oracle())
+def q_crawl_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's crawl.log text line, byte-exact
+    (UriProcessingFormatter.java:69-158 + ArchiveUtils pad/date laws +
+    MimetypeUtils.truncate full-match law) — a single
+    whole-stage-codegen projection, so rendering 10^10 lines is a
+    map-only job over fetch_log (operators/logformat.py)."""
+    from heritrix_spark.operators.logformat import crawl_log_line_col
+
+    u = _docs_urls(spark, sf_dir)
+    aug = u.selectExpr(
+        "doc_id",
+        "url",
+        "fetch_status",
+        "hops_path",
+        *[f.strip() for f in _CLL_FIELDS.split(",\n")],
+        "case when doc_id % 4 = 0 then array('lenTrunc') "
+        "when doc_id % 4 = 1 then array('3t','dupBy:8') "
+        "when doc_id % 4 = 2 then array() "
+        "else cast(null as array<string>) end as annotations",
+    )
+    line = crawl_log_line_col(
+        F.col("time_ms"),
+        F.col("fetch_status"),
+        F.col("content_length"),
+        F.col("content_size"),
+        F.col("url"),
+        F.col("hops_path"),
+        F.col("via"),
+        F.col("mime"),
+        F.col("thread_num"),
+        F.col("began_ms"),
+        F.col("completed_ms"),
+        F.col("digest"),
+        F.col("source_tag"),
+        F.col("annotations"),
+    )
+    return aug.select(
+        F.col("doc_id").cast("long").alias("doc_id"), line.alias("log_line")
+    ).orderBy("doc_id")

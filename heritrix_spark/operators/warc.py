@@ -495,7 +495,13 @@ def read_warc(spark, path: str) -> DataFrame:
         for pdf in pdfs:
             rows: list[dict] = []
             for src, content in zip(pdf["path"], pdf["content"]):
-                rows.extend(parse_warc_bytes(bytes(content), source=src))
+                data = bytes(content)
+                if data[:2] == GZIP_MAGIC:
+                    # .warc.gz: one gzip member per record
+                    # (GZIPMembersInputStream analog) — decompressed
+                    # members concatenate back into the plain framing
+                    data = b"".join(p for _, _, p in gzip_members(data))
+                rows.extend(parse_warc_bytes(data, source=src))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -514,3 +520,79 @@ def read_warc(spark, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         parse, schema=READ_WARC_SCHEMA
     )
+
+
+# ----------------------------------------------------------- gzip members
+
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def gzip_members(data: bytes) -> list[tuple[int, int, bytes]]:
+    """Split concatenated per-record gzip members —
+    ``GZIPMembersInputStream`` (commons/.../io/GZIPMembersInputStream.java;
+    member-boundary law pinned by GZIPMembersInputStreamTest.java:68-140:
+    member k spans [end of member k-1, its own compressed end), the
+    concatenation decompresses to the concatenation of payloads).
+    Returns ``[(compressed_start, compressed_end, payload_bytes)]``."""
+    import zlib
+
+    out: list[tuple[int, int, bytes]] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        if data[pos : pos + 2] != GZIP_MAGIC:
+            raise ValueError(f"bad gzip member magic at offset {pos}")
+        d = zlib.decompressobj(wbits=31)  # gzip wrapper
+        payload = d.decompress(data[pos:])
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        consumed = (n - pos) - len(d.unused_data)
+        out.append((pos, pos + consumed, payload))
+        pos += consumed
+    return out
+
+
+def gzip_record(record_bytes: bytes) -> bytes:
+    """One WARC record → one gzip member (the .warc.gz layout: the
+    reference's WARCWriter compresses each record as its own member so
+    readers can split/seek per record — WriterPoolMember.java compress
+    path). mtime pinned to 0 for deterministic bytes."""
+    import gzip as _gzip
+    import io
+
+    buf = io.BytesIO()
+    with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(record_bytes)
+    return buf.getvalue()
+
+
+def write_warc_gz(records: DataFrame, out_dir: str, num_files: int | None = None):
+    """.warc.gz sink: each record its own gzip member, members
+    concatenated per part file. Executors write their partition's file
+    directly (the writer-pool shape — each ToeThread's WriterPoolMember
+    owns its output file; here each task owns ``part-NNNNN.warc.gz``),
+    via an Arrow-batched pass over the record text — no per-row Python
+    driver involvement and no driver collect."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    if num_files:
+        records = records.repartition(num_files)
+
+    def write_partition(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        tmp = path + ".tmp"
+        wrote = False
+        with open(tmp, "wb") as f:
+            for row in rows:
+                f.write(gzip_record(row.record_text.encode("utf-8")))
+                wrote = True
+        if wrote:
+            os.replace(tmp, path)
+        else:
+            os.unlink(tmp)
+        return iter(())
+
+    records.select("record_text").rdd.mapPartitions(write_partition).count()

@@ -565,13 +565,25 @@ def gzip_record(record_bytes: bytes) -> bytes:
     return buf.getvalue()
 
 
-def write_warc_gz(records: DataFrame, out_dir: str, num_files: int | None = None):
+def write_warc_gz(
+    records: DataFrame,
+    out_dir: str,
+    num_files: int | None = None,
+    warcinfo_fields: list[tuple[str, str | None]] | None = None,
+    warcinfo_time_ms: int = 0,
+):
     """.warc.gz sink: each record its own gzip member, members
     concatenated per part file. Executors write their partition's file
     directly (the writer-pool shape — each ToeThread's WriterPoolMember
     owns its output file; here each task owns ``part-NNNNN.warc.gz``),
     via an Arrow-batched pass over the record text — no per-row Python
-    driver involvement and no driver collect."""
+    driver involvement and no driver collect.
+
+    ``warcinfo_fields`` makes each part file start with its own
+    ``warcinfo`` record (WARCWriter.java:115-125 writes one per file
+    open, WARC-Filename = that file) carrying the fields as the ANVL
+    body — pass the crawl metadata (software/hostname/operator/...)
+    the reference's WriterPoolProcessor supplies."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -582,11 +594,20 @@ def write_warc_gz(records: DataFrame, out_dir: str, num_files: int | None = None
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        name = f"part-{pid:05d}.warc.gz"
+        path = os.path.join(out_dir, name)
         tmp = path + ".tmp"
         wrote = False
         with open(tmp, "wb") as f:
             for row in rows:
+                if not wrote and warcinfo_fields is not None:
+                    f.write(
+                        gzip_record(
+                            warcinfo_record_text(
+                                name, warcinfo_time_ms, warcinfo_fields
+                            ).encode("utf-8")
+                        )
+                    )
                 f.write(gzip_record(row.record_text.encode("utf-8")))
                 wrote = True
         if wrote:
@@ -596,3 +617,61 @@ def write_warc_gz(records: DataFrame, out_dir: str, num_files: int | None = None
         return iter(())
 
     records.select("record_text").rdd.mapPartitions(write_partition).count()
+
+
+# ------------------------------------------------------------ warcinfo/ANVL
+
+
+def anvl_render(fields: list[tuple[str, str | None]]) -> str:
+    """ANVL record rendering — ``ANVLRecord.toString``
+    (commons/.../util/anvl/ANVLRecord.java:94-104): one ``label: value``
+    (or bare ``label`` for value-less entries) per CRLF line, record
+    terminated by a blank CRLF line; the empty record IS just CRLF
+    (ANVLRecordTest.testEmptyRecord). Labels may not contain line
+    terminators (testFolding's IllegalArgumentException); newlines in
+    values are folded to ``CRLF + ' '`` (ANVLRecord.FOLD_PREFIX:66).
+    (The reference's lenient *parser* law — comment lines, tab folds —
+    is read-side surface the engine never emits, so only the writer law
+    is modeled.)"""
+    lines: list[str] = []
+    for label, value in fields:
+        if "\r" in label or "\n" in label:
+            raise ValueError(f"ANVL label may not contain CR/LF: {label!r}")
+        if value is None:
+            lines.append(label)
+        else:
+            folded = (
+                value.replace("\r\n", "\n").replace("\r", "\n")
+                .replace("\n", "\r\n ")
+            )
+            lines.append(f"{label}: {folded}")
+    return CRLF.join(lines) + CRLF + CRLF if lines else CRLF
+
+
+def warcinfo_record_text(
+    filename: str, time_ms: int, fields: list[tuple[str, str | None]]
+) -> str:
+    """The per-file ``warcinfo`` first record —
+    ``WARCWriter.writeWarcinfoRecord`` (WARCWriter.java:345-431: no
+    Target-URI — "the warcinfo type uses its recordId as its URL" :406 —
+    WARC-Filename as the named field, application/warc-fields body) with
+    the same createRecordHeader layout/framing as every other record.
+    Record id is the deterministic md5-uuid law (record_uuid_col)."""
+    import hashlib
+
+    body = anvl_render(fields)
+    m = hashlib.md5(f"warcinfo{filename}{time_ms}".encode()).hexdigest()
+    rid = f"urn:uuid:{m[0:8]}-{m[8:12]}-{m[12:16]}-{m[16:20]}-{m[20:32]}"
+    date = __import__("datetime").datetime.fromtimestamp(
+        time_ms / 1000, tz=__import__("datetime").timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+    header = (
+        f"{WARC_VERSION}{CRLF}"
+        f"WARC-Type: warcinfo{CRLF}"
+        f"WARC-Date: {date}{CRLF}"
+        f"WARC-Filename: {filename}{CRLF}"
+        f"WARC-Record-ID: <{rid}>{CRLF}"
+        f"Content-Type: {ANVL_MIMETYPE}{CRLF}"
+        f"Content-Length: {len(body.encode('utf-8'))}{CRLF}{CRLF}"
+    )
+    return header + body + CRLF + CRLF

@@ -104,3 +104,61 @@ def test_warc_gz_roundtrip(spark, tmp_path):
     got, want = rows_of(gz_dir), rows_of(plain_dir)
     assert n_members == len(want)
     assert got == want
+
+
+def test_anvl_render_laws():
+    from heritrix_spark.operators.warc import anvl_render
+
+    # empty record IS one CRLF (ANVLRecordTest.testEmptyRecord)
+    assert anvl_render([]) == "\r\n"
+    # label: value lines + blank-line terminator
+    assert anvl_render([("who", "G&S"), ("entry", None)]) == (
+        "who: G&S\r\nentry\r\n\r\n"
+    )
+    # newlines in values fold to CRLF + space (ANVLRecord.FOLD_PREFIX)
+    assert anvl_render([("what", "Yeoman of\nthe guard")]) == (
+        "what: Yeoman of\r\n the guard\r\n\r\n"
+    )
+    # labels with line terminators rejected (testFolding)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        anvl_render([("bad\nlabel", "x")])
+
+
+def test_warcinfo_first_record(spark, tmp_path):
+    from heritrix_spark.operators.warc import warc_records, write_warc_gz
+
+    fetches = spark.createDataFrame(
+        [("http://h1.example/", 1_600_000_000_000, "<html>x</html>", 200,
+          None, "", 5)],
+        "url string, fetch_time_ms long, content string, status int, "
+        "via string, hops string, dur long",
+    )
+    recs = warc_records(
+        fetches, status_col="status", via_col="via", hops_col="hops",
+        duration_ms_col="dur",
+    )
+    out = str(tmp_path / "wi")
+    fields = [
+        ("software", "heritrix-spark"),
+        ("format", "WARC File Format 1.0"),
+        ("robots", "obey"),
+    ]
+    write_warc_gz(recs, out, num_files=1, warcinfo_fields=fields,
+                  warcinfo_time_ms=1_600_000_000_000)
+    files = glob.glob(out + "/part-*.warc.gz")
+    assert len(files) == 1
+    rows = read_warc(spark, out).orderBy("warc_type").collect()
+    types = [r.warc_type for r in rows]
+    assert "warcinfo" in types
+    wi = next(r for r in rows if r.warc_type == "warcinfo")
+    assert wi.headers["WARC-Filename"] == "part-00000.warc.gz"
+    assert wi.content_type == "application/warc-fields"
+    assert wi.block == (
+        "software: heritrix-spark\r\nformat: WARC File Format 1.0\r\n"
+        "robots: obey\r\n\r\n"
+    )
+    assert wi.headers["WARC-Date"] == "2020-09-13T12:26:40Z"
+    # warcinfo has no Target-URI header (WARCWriter.java:406)
+    assert "WARC-Target-URI" not in wi.headers

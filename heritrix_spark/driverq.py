@@ -5934,3 +5934,93 @@ def q_crawl_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aug.select(
         F.col("doc_id").cast("long").alias("doc_id"), line.alias("log_line")
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------ 45. ARC record assembly
+#
+# The reference's original archive format (ARCWriterProcessor;
+# ARCWriter.createMetaline :431-437, record framing :380-403) as pure
+# column expressions — operators/arc.py. The oracle rebuilds the exact
+# record strings and compares an md5 of each.
+
+def _arc_oracle() -> str:
+    from heritrix_spark.operators.logformat import mimetype_truncate_sql
+
+    crlf = "chr(13) || chr(10)"
+    return f"""
+    with u as (
+      select cast(doc_id as bigint) as doc_id,
+        'http://host' || cast(doc_id % 40 + 1 as varchar) || '.example/a/p'
+          || cast(doc_id as varchar) as url,
+        1600000000000 + doc_id * 1000 as t_ms,
+        '10.0.' || cast(doc_id % 250 as varchar) || '.'
+          || cast(doc_id % 200 + 1 as varchar) as ip,
+        case when doc_id % 4 = 0 then 'text/html; charset=UTF-8'
+             when doc_id % 4 = 1 then cast(null as varchar)
+             when doc_id % 4 = 2 then 'image/png,image/gif'
+             else 'text/plain' end as mime,
+        cast(case when doc_id % 3 = 0 then 404 else 200 end as int) as status,
+        coalesce(text, '') as content
+      from documents),
+    b as (
+      select *,
+        strftime(epoch_ms(t_ms), '%Y%m%d%H%M%S') as arc_date,
+        {mimetype_truncate_sql('mime')} as mime_t,
+        'HTTP/1.1 ' || cast(status as varchar)
+          || case when status = 200 then ' OK'
+                  when status = 404 then ' Not Found' else '' end
+          || {crlf} || 'Content-Type: text/html' || {crlf}
+          || 'Content-Length: '
+          || cast(octet_length(encode(content)) as varchar)
+          || {crlf} || {crlf} || content as block
+      from u),
+    c as (
+      select *, cast(octet_length(encode(block)) as bigint) as content_length
+      from b)
+    select url, ip, arc_date, mime_t as mime, content_length,
+      md5(url || ' ' || ip || ' ' || arc_date || ' ' || mime_t || ' '
+          || cast(content_length as varchar) || chr(10) || block || chr(10))
+        as record_md5
+    from c order by url
+    """
+
+
+@register("arc_metalines", _arc_oracle())
+def q_arc_metalines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARC record assembly (operators/arc.py arc_records): metaline
+    (uri ip date14 mime-truncated length) + recorded HTTP response +
+    separator as ONE codegen string column per fetch; the twin rebuilds
+    the exact bytes and hash-compares each record."""
+    from heritrix_spark.operators.arc import arc_records
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    fetches = spark.sql(
+        """
+        select doc_id,
+          'http://host' || cast(doc_id % 40 + 1 as string) || '.example/a/p'
+            || cast(doc_id as string) as url,
+          cast(1600000000000 + doc_id * 1000 as bigint) as fetch_time_ms,
+          '10.0.' || cast(doc_id % 250 as string) || '.'
+            || cast(doc_id % 200 + 1 as string) as ip,
+          case when doc_id % 4 = 0 then 'text/html; charset=UTF-8'
+               when doc_id % 4 = 1 then cast(null as string)
+               when doc_id % 4 = 2 then 'image/png,image/gif'
+               else 'text/plain' end as mime,
+          cast(case when doc_id % 3 = 0 then 404 else 200 end as int) as status,
+          coalesce(text, '') as content
+        from documents
+        """
+    )
+    recs = arc_records(
+        fetches, status_col="status", ip_col="ip", mime_col="mime"
+    )
+    return recs.select(
+        "url",
+        "ip",
+        "arc_date",
+        "mime",
+        "content_length",
+        F.md5("record_text").alias("record_md5"),
+    ).orderBy("url")

@@ -6024,3 +6024,91 @@ def q_arc_metalines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_length",
         F.md5("record_text").alias("record_md5"),
     ).orderBy("url")
+
+
+# ----------------------------------- 46. per-host sheet-overlay delays
+#
+# KeyedProperties sheet overlays (commons/.../spring/;
+# profile-crawler-beans.cxml:218-383): per-SURT politeness settings
+# override the globals, absent values fall through to the containing
+# sheet. Rides the exact round-plan code path (plans/round._overlay +
+# politeness_delay_col's overlay params).
+
+def _overlay_fixture_keys() -> list[tuple[str, float | None, float | None, float | None]]:
+    from heritrix_spark.functions.canonicalize import canonicalize_py
+    from heritrix_spark.functions.surt import class_key_py
+
+    k = lambda n: class_key_py(canonicalize_py(f"http://host{n}.example/x"))
+    return [
+        (k(3), 2.0, 500.0, 8000.0),       # all three overridden
+        (k(17), 10.0, None, 60000.0),     # min falls through to global
+    ]
+
+
+def _host_overlay_oracle() -> str:
+    ck = class_key_sql(canonicalize_sql("url"))
+    vals = ", ".join(
+        "('{}', {}, {}, {})".format(
+            key,
+            "cast(null as double)" if f is None else f,
+            "cast(null as double)" if lo is None else lo,
+            "cast(null as double)" if hi is None else hi,
+        )
+        for key, f, lo, hi in _overlay_fixture_keys()
+    )
+    delay = """
+    case when d < 300000 and cd > d then cd else d end
+    """.strip()
+    return f"""
+    with u as ({_DUCK_URLS}),
+    keyed as (select doc_id, fetch_duration_ms, crawl_delay, {ck} as class_key
+              from u),
+    ov(class_key, o_f, o_lo, o_hi) as (select * from (values {vals}) t),
+    j as (select k.*, o_f, o_lo, o_hi
+          from keyed k left join ov using (class_key)),
+    c as (select *,
+            least(greatest(cast(coalesce(o_f, 5.0) * fetch_duration_ms
+                                as bigint),
+                           cast(coalesce(o_lo, 3000) as bigint)),
+                  cast(coalesce(o_hi, 30000) as bigint)) as d,
+            least(cast(case when crawl_delay > 0 then crawl_delay * 1000
+                            else 0 end as bigint), 300000) as cd
+          from j)
+    select cast(doc_id as bigint) as doc_id, class_key,
+           cast({delay} as bigint) as delay_ms
+    from c order by doc_id
+    """
+
+
+@register("host_overlay_delay", _host_overlay_oracle())
+def q_host_overlay_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host sheet overlays applied to the politeness delay: the
+    host_config dimension broadcast-joins on the queue key
+    (plans/round.py _overlay — the actual crawl-loop code path) and
+    null overlay cells fall through to the global config inside
+    politeness_delay_col, exactly like an absent sheet property."""
+    from heritrix_spark.operators.politeness import politeness_delay_col
+    from heritrix_spark.plans.round import _overlay
+
+    u = _docs_urls(spark, sf_dir).withColumn(
+        "class_key", class_key_col(canonicalize_col("url"))
+    )
+    host_config = spark.createDataFrame(
+        _overlay_fixture_keys(),
+        "class_key string, delay_factor double, min_delay_ms double, "
+        "max_delay_ms double",
+    )
+    d = _overlay(u, host_config)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "class_key",
+        politeness_delay_col(
+            F.col("fetch_duration_ms"),
+            F.col("crawl_delay"),
+            delay_factor=F.col("__o_delay_factor"),
+            min_delay_ms=F.col("__o_min_delay_ms"),
+            max_delay_ms=F.col("__o_max_delay_ms"),
+        )
+        .cast("long")
+        .alias("delay_ms"),
+    ).orderBy("doc_id")

@@ -52,15 +52,20 @@ def date14_col(epoch_ms: Column) -> Column:
 def arc_metaline_col(
     uri: Column, ip: Column, time_ms: Column, mime: Column, length: Column
 ) -> Column:
-    """createMetaline: 5 space-separated fields + newline."""
+    """createMetaline: 5 space-separated fields + newline. Null fields
+    render as the literal ``null`` — Java's ``+`` concatenation prints
+    null references as "null" and validateMetaLine's 5-field regex
+    accepts it (:431-455); concat_ws would silently DROP the field and
+    corrupt every later record's framing at read time."""
+    nn = lambda c: F.coalesce(c, F.lit("null"))
     return F.concat(
         F.concat_ws(
             " ",
-            uri,
-            ip,
-            date14_col(time_ms),
-            mimetype_truncate_col(mime),
-            length.cast("string"),
+            nn(uri),
+            nn(ip),
+            nn(date14_col(time_ms)),
+            mimetype_truncate_col(mime),  # null mime -> 'no-type' already
+            nn(length.cast("string")),
         ),
         F.lit(LF),
     )
@@ -133,38 +138,21 @@ def write_arc(
     num_files: int | None = None,
     file_time_ms: int = 0,
 ):
-    """ARC sink: per-task part files, each opened with its own
-    filedesc:// header record (the writer-pool shape — mirrors
-    write_warc_gz's task-owned files)."""
-    import os
+    """ARC sink: task-owned part files, each opened with its own
+    filedesc:// header record — same Arrow-batched pyarrow-fs I/O
+    contract as :func:`heritrix_spark.operators.warc.write_part_files`."""
+    from heritrix_spark.operators.warc import write_part_files
 
-    os.makedirs(out_dir, exist_ok=True)
-    if num_files:
-        records = records.repartition(num_files)
-
-    def write_partition(rows):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        name = f"part-{pid:05d}.arc"
-        path = os.path.join(out_dir, name)
-        tmp = path + ".tmp"
-        wrote = False
-        with open(tmp, "wb") as f:
-            for row in rows:
-                if not wrote:
-                    f.write(
-                        arc_file_header_text(name, file_time_ms).encode("utf-8")
-                    )
-                f.write(row.record_text.encode("utf-8"))
-                wrote = True
-        if wrote:
-            os.replace(tmp, path)
-        else:
-            os.unlink(tmp)
-        return iter(())
-
-    records.select("record_text").rdd.mapPartitions(write_partition).count()
+    write_part_files(
+        records,
+        out_dir,
+        ".arc",
+        lambda text: text.encode("utf-8"),
+        header_for=lambda name: arc_file_header_text(name, file_time_ms).encode(
+            "utf-8"
+        ),
+        num_files=num_files,
+    )
 
 
 def parse_arc_bytes(data: bytes, source: str = "") -> list[dict]:

@@ -104,7 +104,7 @@ def crawl_log_line_col(
         .otherwise(F.lit(NA))
     )
     arc_time = F.when(
-        completed_ms.isNotNull(),
+        completed_ms.isNotNull() & began_ms.isNotNull(),
         F.concat(
             ts17_col(began_ms), F.lit("+"), (completed_ms - began_ms).cast("string")
         ),
@@ -113,16 +113,21 @@ def crawl_log_line_col(
         annotations.isNotNull() & (F.size(annotations) > 0),
         F.array_join(annotations, ","),
     ).otherwise(F.lit(NA))
+    # nullable inputs render as Java would print them ("null" for the
+    # primitive-backed fields, '-' via checkForNull for the rest) —
+    # concat_ws would silently DROP a null field and shift every later
+    # column, corrupting downstream crawl.log parsers
+    nn = lambda c: F.coalesce(c, F.lit("null"))
     return F.concat_ws(
         " ",
-        log17_date_col(time_ms),
-        pad_to_col(fetch_status.cast("string"), 5),
+        nn(log17_date_col(time_ms)),
+        pad_to_col(nn(fetch_status.cast("string")), 5),
         pad_to_col(length, 10),
-        uri,
+        nn(uri),
         na_if_empty_col(hops_path),
         na_if_empty_col(via),
         mimetype_truncate_col(mime),
-        F.concat(F.lit("#"), pad_to_col(thread_num.cast("string"), 3, "0")),
+        F.concat(F.lit("#"), pad_to_col(nn(thread_num.cast("string")), 3, "0")),
         arc_time,
         na_if_empty_col(digest),
         na_if_empty_col(source_tag),

@@ -538,11 +538,12 @@ def gzip_members(data: bytes) -> list[tuple[int, int, bytes]]:
 
     out: list[tuple[int, int, bytes]] = []
     pos, n = 0, len(data)
+    view = memoryview(data)  # zero-copy tails: O(n) total, not O(n*R)
     while pos < n:
         if data[pos : pos + 2] != GZIP_MAGIC:
             raise ValueError(f"bad gzip member magic at offset {pos}")
         d = zlib.decompressobj(wbits=31)  # gzip wrapper
-        payload = d.decompress(data[pos:])
+        payload = d.decompress(view[pos:])
         if not d.eof:
             raise ValueError(f"truncated gzip member at offset {pos}")
         consumed = (n - pos) - len(d.unused_data)
@@ -565,6 +566,62 @@ def gzip_record(record_bytes: bytes) -> bytes:
     return buf.getvalue()
 
 
+def write_part_files(
+    records: DataFrame,
+    out_dir: str,
+    ext: str,
+    encode_record,
+    header_for=None,
+    num_files: int | None = None,
+):
+    """Task-owned part-file sink (the writer-pool shape — each
+    ToeThread's WriterPoolMember owns its output file; here each task
+    owns ``part-NNNNN<ext>``). The pass is ``mapInArrow`` over the
+    record text — Arrow-batched, no per-row pickling — and the file I/O
+    goes through ``pyarrow.fs.FileSystem.from_uri``, so ``out_dir`` may
+    be a local absolute path or any URI pyarrow's filesystems reach
+    from the executors (hdfs://, s3://); tasks never assume
+    driver-local disk. Files land under ``.tmp`` names and rename on
+    close, so a killed task leaves no half-written part visible.
+
+    ``encode_record(text) -> bytes`` frames one record;
+    ``header_for(filename) -> bytes`` (optional) opens each file."""
+    if num_files:
+        records = records.repartition(num_files)
+
+    from pyarrow import fs as pafs
+
+    filesystem, base = pafs.FileSystem.from_uri(out_dir)
+    filesystem.create_dir(base, recursive=True)
+
+    def write_batches(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = f"part-{pid:05d}{ext}"
+        fsys, root = pafs.FileSystem.from_uri(out_dir)
+        tmp = f"{root}/{name}.tmp"
+        out = None
+        n = 0
+        for batch in batches:
+            for text in batch.column("record_text"):
+                if out is None:
+                    out = fsys.open_output_stream(tmp)
+                    if header_for is not None:
+                        out.write(header_for(name))
+                out.write(encode_record(text.as_py()))
+                n += 1
+        if out is not None:
+            out.close()
+            fsys.move(tmp, f"{root}/{name}")
+        yield pa.record_batch([pa.array([n], type=pa.int64())], names=["n"])
+
+    records.select("record_text").mapInArrow(
+        write_batches, "n long"
+    ).agg(F.sum("n")).collect()
+
+
 def write_warc_gz(
     records: DataFrame,
     out_dir: str,
@@ -573,50 +630,31 @@ def write_warc_gz(
     warcinfo_time_ms: int = 0,
 ):
     """.warc.gz sink: each record its own gzip member, members
-    concatenated per part file. Executors write their partition's file
-    directly (the writer-pool shape — each ToeThread's WriterPoolMember
-    owns its output file; here each task owns ``part-NNNNN.warc.gz``),
-    via an Arrow-batched pass over the record text — no per-row Python
-    driver involvement and no driver collect.
+    concatenated per task-owned part file (see :func:`write_part_files`
+    for the I/O contract).
 
     ``warcinfo_fields`` makes each part file start with its own
     ``warcinfo`` record (WARCWriter.java:115-125 writes one per file
     open, WARC-Filename = that file) carrying the fields as the ANVL
     body — pass the crawl metadata (software/hostname/operator/...)
     the reference's WriterPoolProcessor supplies."""
-    import os
+    header_for = None
+    if warcinfo_fields is not None:
+        def header_for(name):
+            return gzip_record(
+                warcinfo_record_text(
+                    name, warcinfo_time_ms, warcinfo_fields
+                ).encode("utf-8")
+            )
 
-    os.makedirs(out_dir, exist_ok=True)
-    if num_files:
-        records = records.repartition(num_files)
-
-    def write_partition(rows):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        name = f"part-{pid:05d}.warc.gz"
-        path = os.path.join(out_dir, name)
-        tmp = path + ".tmp"
-        wrote = False
-        with open(tmp, "wb") as f:
-            for row in rows:
-                if not wrote and warcinfo_fields is not None:
-                    f.write(
-                        gzip_record(
-                            warcinfo_record_text(
-                                name, warcinfo_time_ms, warcinfo_fields
-                            ).encode("utf-8")
-                        )
-                    )
-                f.write(gzip_record(row.record_text.encode("utf-8")))
-                wrote = True
-        if wrote:
-            os.replace(tmp, path)
-        else:
-            os.unlink(tmp)
-        return iter(())
-
-    records.select("record_text").rdd.mapPartitions(write_partition).count()
+    write_part_files(
+        records,
+        out_dir,
+        ".warc.gz",
+        lambda text: gzip_record(text.encode("utf-8")),
+        header_for=header_for,
+        num_files=num_files,
+    )
 
 
 # ------------------------------------------------------------ warcinfo/ANVL

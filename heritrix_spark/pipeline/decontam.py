@@ -44,6 +44,23 @@ def ngrams_col(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def benchmark_ngrams(
+    benchmark: DataFrame, n: int, bench_text_col: str = "text"
+) -> DataFrame:
+    """Distinct word ``n``-grams of the eval/benchmark set — the
+    broadcast side shared by :func:`decontaminate` and
+    :func:`remove_contaminated_spans`, factored so both variants always
+    agree on what counts as contaminated."""
+    return (
+        benchmark.select(
+            F.explode(
+                ngrams_col(tokens_col(F.col(bench_text_col)), n)
+            ).alias("ng")
+        )
+        .distinct()
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -55,14 +72,7 @@ def decontaminate(
     """Flag corpus documents sharing any exact word ``n``-gram with the
     benchmark set.  Returns (id_col, n_overlap, contaminated) — one row
     per input document, ``n_overlap`` = distinct shared n-grams."""
-    bench_ngrams = (
-        benchmark.select(
-            F.explode(
-                ngrams_col(tokens_col(F.col(bench_text_col)), n)
-            ).alias("ng")
-        )
-        .distinct()
-    )
+    bench_ngrams = benchmark_ngrams(benchmark, n, bench_text_col)
     doc_ngrams = docs.select(
         F.col(id_col),
         F.explode(
@@ -244,14 +254,7 @@ def remove_contaminated_spans(
     through one doc-keyed aggregation; the coverage mask and the text
     rebuild are row-local higher-order expressions (O(tokens x matched
     spans) per row), no Python anywhere."""
-    bench_ngrams = (
-        benchmark.select(
-            F.explode(
-                ngrams_col(tokens_col(F.col(bench_text_col)), n)
-            ).alias("ng")
-        )
-        .distinct()
-    )
+    bench_ngrams = benchmark_ngrams(benchmark, n, bench_text_col)
     staged = docs.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
     )

@@ -137,6 +137,26 @@ def url_filter(
     )
 
 
+def _re_escape_word(w: str) -> str:
+    """Literal-escape a list word for the Java ∩ RE2 regex subset:
+    backslash every non-[a-z0-9] character (``\\Q..\\E`` is Java-only;
+    escaping punctuation with a backslash is legal in both dialects,
+    escaping letters is not — so only punctuation is escaped). Keeps
+    the url_filter/text_filter shared-list contract for entries like
+    'c++' or '.onion'."""
+    return "".join(c if c.isalnum() and c.isascii() else "\\" + c for c in w)
+
+
+def _word_pattern(w: str) -> str:
+    """Word-boundary probe pattern in the Java ∩ RE2 subset: a boundary
+    class is required only on alphanumeric word edges (like ``\\b``,
+    which sits between \\w and \\W — a word edge that is itself
+    punctuation, e.g. '.onion' or 'c++', needs no further boundary)."""
+    pre = r"(^|[^a-z0-9])" if w[:1].isalnum() else ""
+    post = r"([^a-z0-9]|$)" if w[-1:].isalnum() else ""
+    return pre + _re_escape_word(w) + post
+
+
 def text_badword_filter(
     docs: DataFrame,
     words: tuple[tuple[str, int], ...] = BADWORDS_MILLI,
@@ -157,7 +177,7 @@ def text_badword_filter(
     low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     score: Column = F.lit(0).cast("long")
     for w, wt in words:
-        probe = low.rlike(rf"(^|[^a-z0-9]){w}([^a-z0-9]|$)")
+        probe = low.rlike(_word_pattern(w))
         score = score + F.when(probe, F.lit(wt)).otherwise(F.lit(0)).cast("long")
     return docs.select(
         F.col(id_col),
@@ -179,7 +199,7 @@ def text_badword_filter_sql(
     dialect subset — same boundary class both sides)."""
     probes = " + ".join(
         f"case when regexp_matches(lower(coalesce({text_col}, '')), "
-        f"'(^|[^a-z0-9]){w}([^a-z0-9]|$)') then {wt} else 0 end"
+        f"'{_word_pattern(w)}') then {wt} else 0 end"
         for w, wt in words
     )
     return f"""

@@ -99,3 +99,19 @@ def test_parse_rejects_garbage():
     good = arc_file_header_text("f.arc", 0).encode()
     with pytest.raises(ValueError, match="separator"):
         parse_arc_bytes(good[:-1] + b"X")
+
+
+def test_null_ip_renders_literal_null(spark):
+    """Java's + concatenation prints a null hostIP as 'null' and the
+    5-field validateMetaLine accepts it — the metaline must not
+    silently drop to 4 fields (which would corrupt framing at read)."""
+    df = spark.createDataFrame(
+        [("http://h/", 1_600_000_000_000, "x", 200, None, "text/plain")],
+        SCHEMA,
+    )
+    rec = arc_records(df, status_col="status", ip_col="ip", mime_col="mime").collect()[0]
+    first = rec.record_text.split("\n", 1)[0]
+    assert len(first.split(" ")) == 5
+    assert first.split(" ")[1] == "null"
+    parsed = parse_arc_bytes(rec.record_text.encode())
+    assert parsed[0]["ip"] == "null"

@@ -105,3 +105,21 @@ def test_text_badword_filter_word_boundaries(spark):
     for i, t, want_score, want_verdict in docs:
         assert rows[i].badword_score_milli == want_score, t
         assert rows[i].text_verdict == want_verdict, t
+
+
+def test_text_badword_regex_metachars(spark):
+    """Words with regex metacharacters are matched literally, keeping
+    the shared-list contract with the substring-based URL probe."""
+    from heritrix_spark.pipeline.urlfilter import text_badword_filter
+
+    words = (("c++", 500), (".onion", 700))
+    docs = [
+        (0, "learn c++ today", 500),
+        (1, "cxx is not c-plus-plus", 0),   # '.'/'+' must not act as regex
+        (2, "visit site.onion now", 700),
+        (3, "visit siteXonion now", 0),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in docs], "doc_id int, text string")
+    rows = {r.doc_id: r.badword_score_milli for r in text_badword_filter(df, words=words).collect()}
+    for i, t, want in docs:
+        assert rows[i] == want, t

@@ -6112,3 +6112,55 @@ def q_host_overlay_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("delay_ms"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------- 47. corpus data-card accounting
+#
+# The "data card" every released corpus ships: per (split, source)
+# document and token accounting over the FINAL composed assignment —
+# the deterministic hash split (pipeline/sampling.py) x the source
+# column x the whitespace token law (pipeline/textstats.py). One
+# map-side-combinable hash aggregation; at 100 TB this is the cheapest
+# full-corpus pass there is (two derived columns + partial aggs).
+
+@register(
+    "corpus_datacard",
+    f"""
+    with d as (
+      select {_duck_split_case("doc_id", _SPLIT_WEIGHTS, "split")} as split,
+             source,
+             len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                 '\\s+'), t -> t <> '')) as n_toks
+      from documents)
+    select split, source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_toks) as bigint) as n_tokens
+    from d group by split, source order by split, source
+    """,
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data-card: (split, source) -> docs + tokens over the
+    deterministic split assignment. Composition row — the split law,
+    source dimension, and token law all reused from their own
+    oracle-green rows; plan is one partial-aggregated groupBy."""
+    from heritrix_spark.pipeline.sampling import hash_split_col
+    from heritrix_spark.pipeline.textstats import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            hash_split_col(F.col("doc_id"), _SPLIT_WEIGHTS, "split").alias(
+                "split"
+            ),
+            "source",
+            F.size(tokens_col(F.coalesce(F.col("text"), F.lit(""))))
+            .cast("long")
+            .alias("n_toks"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .orderBy("split", "source")
+    )

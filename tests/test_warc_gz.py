@@ -162,3 +162,40 @@ def test_warcinfo_first_record(spark, tmp_path):
     assert wi.headers["WARC-Date"] == "2020-09-13T12:26:40Z"
     # warcinfo has no Target-URI header (WARCWriter.java:406)
     assert "WARC-Target-URI" not in wi.headers
+
+
+def test_part_file_sink_edge_cases(spark, tmp_path):
+    """Empty input writes no files; empty partitions produce no
+    zero-record parts; tmp files never remain visible."""
+    from heritrix_spark.operators.warc import warc_records, write_warc_gz
+
+    empty = spark.createDataFrame(
+        [],
+        "url string, fetch_time_ms long, content string, status int, "
+        "via string, hops string, dur long",
+    )
+    out_empty = str(tmp_path / "empty")
+    write_warc_gz(
+        warc_records(empty, status_col="status", via_col="via",
+                     hops_col="hops", duration_ms_col="dur"),
+        out_empty, num_files=3,
+    )
+    assert glob.glob(out_empty + "/*") == []
+
+    one = spark.createDataFrame(
+        [("http://h/", 1_600_000_000_000, "x", 200, None, "", 1)],
+        "url string, fetch_time_ms long, content string, status int, "
+        "via string, hops string, dur long",
+    )
+    out_one = str(tmp_path / "one")
+    # 3 records across 8 partitions -> most partitions empty
+    write_warc_gz(
+        warc_records(one, status_col="status", via_col="via",
+                     hops_col="hops", duration_ms_col="dur"),
+        out_one, num_files=8,
+    )
+    files = glob.glob(out_one + "/*")
+    assert files and all(f.endswith(".warc.gz") for f in files)
+    assert not any(f.endswith(".tmp") for f in files)
+    total = sum(len(gzip_members(open(f, "rb").read())) for f in files)
+    assert total == 3  # response + request + metadata

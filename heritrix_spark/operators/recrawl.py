@@ -138,3 +138,23 @@ def warc_record_type_col(
             identical_digest, F.lit("warcRevisit:digest")
         ).otherwise(out)
     return out
+
+
+def reschedule_time_col(
+    hops_path: Column, now_ms: Column, reschedule_delay_s: int = -1
+) -> Column:
+    """ReschedulingProcessor.innerProcess
+    (modules/.../recrawl/ReschedulingProcessor.java:59-73): force a URI
+    back onto the future queue after a fixed delay — prerequisites
+    never reschedule ("they get rescheduled as needed", last hop 'P'),
+    otherwise ``now + 1000*delay`` when the configured delay is
+    positive, else -1 ("don't reschedule", the default). The -1/time
+    value feeds the frontier's ``reschedule_time`` future-row plumbing
+    (plans/round.py futureUris)."""
+    no = F.lit(-1).cast("long")
+    if reschedule_delay_s <= 0:
+        return no
+    is_prereq = hops_path.endswith("P")
+    return F.when(is_prereq, no).otherwise(
+        (now_ms + F.lit(1000 * reschedule_delay_s)).cast("long")
+    )

@@ -182,3 +182,29 @@ def test_record_type_toggles(spark):
     assert r["ident_off"] == "warcRevisit:notModified"
     assert r["notmod_off"] == "response"
     assert r["all_off"] == "response"
+
+
+def test_rescheduling_processor_law(spark):
+    """ReschedulingProcessor.java:59-73: prereqs never reschedule, the
+    -1 default disables, positive delay => now + 1000*delay."""
+    from pyspark.sql import functions as F
+
+    from heritrix_spark.operators.recrawl import reschedule_time_col
+
+    df = spark.createDataFrame(
+        [("", 5_000), ("L", 5_000), ("LLP", 5_000), ("P", 5_000)],
+        "hops string, now long",
+    )
+    on = {
+        r.hops: r.t
+        for r in df.select(
+            "hops",
+            reschedule_time_col(F.col("hops"), F.col("now"), 60).alias("t"),
+        ).collect()
+    }
+    assert on[""] == on["L"] == 65_000
+    assert on["LLP"] == on["P"] == -1
+    off = df.select(
+        reschedule_time_col(F.col("hops"), F.col("now"), -1).alias("t")
+    ).collect()
+    assert all(r.t == -1 for r in off)

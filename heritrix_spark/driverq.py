@@ -6164,3 +6164,107 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source")
     )
+
+
+# ------------------------------------------------- 48. Kulturarw3 writer
+#
+# Kw3WriterProcessor (modules/.../writer/Kw3WriterProcessor.java): the
+# fourth and last writer the reference ships. Path + full MIME-file
+# law as one codegen projection (operators/kw3.py); the twin rebuilds
+# the exact bytes and compares an md5 per file.
+
+def _kw3_oracle() -> str:
+    lf = "chr(10)"
+    crlf = "chr(13) || chr(10)"
+    return f"""
+    with u as (
+      select cast(doc_id as bigint) as doc_id,
+        'http://host' || cast(doc_id % 40 + 1 as varchar) || '.example'
+          || case when doc_id % 5 = 0 then ':8080' else '' end
+          || '/k/p' || cast(doc_id as varchar) as url,
+        'host' || cast(doc_id % 40 + 1 as varchar) || '.example' as host,
+        cast(case when doc_id % 5 = 0 then 8080 else 80 end as int) as port,
+        1600000000000 + doc_id * 1000 as t_ms,
+        '10.1.' || cast(doc_id % 250 as varchar) || '.'
+          || cast(doc_id % 200 + 1 as varchar) as ip,
+        case when doc_id % 3 = 0 then 'text/plain' else 'text/html' end as mime,
+        cast(case when doc_id % 7 = 0 then 404 else 200 end as int) as status,
+        case when doc_id % 11 = 0 then '' else coalesce(text, '') end as content
+      from documents),
+    b as (
+      select *,
+        case when port = 80 then host
+             else host || ':' || cast(port as varchar) end as khost,
+        'KulturArw3_' || md5(url) as bnd,
+        'HTTP/1.1 ' || cast(status as varchar)
+          || case when status = 200 then ' OK'
+                  when status = 404 then ' Not Found' else '' end
+          || {crlf} || 'Content-Type: text/html' || {crlf}
+          || 'Content-Length: '
+          || cast(octet_length(encode(content)) as varchar)
+          || {crlf} || {crlf} as hdr
+      from u),
+    c as (
+      select *,
+        substr(md5(khost), 1, 2) || '/' || khost || '/current/' || md5(url)
+          || '.' || cast(t_ms // 1000 as varchar) as path,
+        'MIME-version: 1.1' || {lf}
+          || 'Content-Type: multipart/mixed; boundary=' || bnd || {lf}
+          || 'HTTP-Part: ArchiveInfo' || {lf}
+          || 'HTTP-Collection: kw3' || {lf}
+          || 'HTTP-Harvester: heritrix-spark' || {lf}
+          || 'HTTP-URL: ' || url || {lf}
+          || 'HTTP-IP-Address: ' || ip || {lf}
+          || 'HTTP-Header-Length: '
+          || cast(octet_length(encode(hdr)) as varchar) || {lf}
+          || 'HTTP-Header-MD5: ' || md5(hdr) || {lf}
+          || 'HTTP-Content-Length: '
+          || cast(octet_length(encode(content)) as varchar) || {lf}
+          || 'HTTP-Content-MD5: ' || md5(content) || {lf}
+          || 'HTTP-Archive-Time: ' || cast(t_ms // 1000 as varchar) || {lf}
+          || 'HTTP-Status-Code: ' || cast(status as varchar) || {lf} || {lf}
+          || '--' || bnd || {lf}
+          || 'Content-Type: text/plain; charset="US-ascii"' || {lf}
+          || 'HTTP-Part: Header' || {lf} || {lf} || hdr
+          || case when octet_length(encode(content)) > 0
+                  then '--' || bnd || {lf} || 'Content-Type: ' || mime
+                       || {lf} || 'HTTP-Part: Content' || {lf} || {lf}
+                       || content
+                  else '' end
+          || {lf} || '--' || bnd || '--' || {lf} as file_text
+      from b)
+    select path, md5(file_text) as file_md5 from c order by path
+    """
+
+
+@register("kw3_files", _kw3_oracle())
+def q_kw3_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kulturarw3 MIME files (operators/kw3.py): md5-bucketed path law
+    + three-part MIME body with KulturArw3_ boundary, byte-exact vs the
+    twin's reconstruction (md5 per file)."""
+    from heritrix_spark.operators.kw3 import kw3_files
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    fetches = spark.sql(
+        """
+        select doc_id,
+          'http://host' || cast(doc_id % 40 + 1 as string) || '.example'
+            || case when doc_id % 5 = 0 then ':8080' else '' end
+            || '/k/p' || cast(doc_id as string) as url,
+          'host' || cast(doc_id % 40 + 1 as string) || '.example' as host,
+          cast(case when doc_id % 5 = 0 then 8080 else 80 end as int) as port,
+          cast(1600000000000 + doc_id * 1000 as bigint) as fetch_time_ms,
+          '10.1.' || cast(doc_id % 250 as string) || '.'
+            || cast(doc_id % 200 + 1 as string) as ip,
+          case when doc_id % 3 = 0 then 'text/plain' else 'text/html' end as mime,
+          cast(case when doc_id % 7 = 0 then 404 else 200 end as int) as status,
+          case when doc_id % 11 = 0 then '' else coalesce(text, '') end as content
+        from documents
+        """
+    )
+    files = kw3_files(fetches)
+    return files.select(
+        "path", F.md5("file_text").alias("file_md5")
+    ).orderBy("path")

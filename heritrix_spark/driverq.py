@@ -3104,7 +3104,7 @@ def _warc_oracle() -> str:
       from u),
     c as (
       select *, 'sha256-160:' || {b32} as pdig,
-        md5(url || wdate || 'response') as m,
+        md5(url || cast(t_ms as varchar) || 'response') as m,
         'HTTP/1.1 200 OK' || {crlf} || 'Content-Type: text/html' || {crlf}
           || 'Content-Length: ' || cast(octet_length(encode(content)) as varchar)
           || {crlf} || {crlf} as http_hdr,

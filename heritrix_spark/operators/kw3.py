@@ -72,7 +72,15 @@ def kw3_mime_file_col(
     collection: str = "kw3",
     harvester: str = "heritrix-spark",
 ) -> Column:
-    """The full Kulturarw3 MIME file as one string column."""
+    """The full Kulturarw3 MIME file as one string column.
+
+    NULL ip/content_type/status are rendered as the literal ``null``
+    (Java string concatenation prints "null"); an unguarded concat
+    would instead NULL the whole file_text column and silently drop
+    the archive file at the sink — the trap logformat.py documents."""
+    ip = F.coalesce(ip, F.lit("null"))
+    content_type = F.coalesce(content_type, F.lit("null"))
+    status_s = F.coalesce(status.cast("string"), F.lit("null"))
     boundary = F.concat(F.lit(BOUNDARY_START), F.md5(url))
     header_len = F.octet_length(http_header).cast("string")
     content_len = F.octet_length(content).cast("string")
@@ -106,7 +114,7 @@ def kw3_mime_file_col(
         archive_time_s.cast("string"),
         F.lit(LF),
         F.lit("HTTP-Status-Code: "),
-        status.cast("string"),
+        status_s,
         F.lit(LF + LF),
     )
     header_part = F.concat(
@@ -155,7 +163,7 @@ def kw3_files(
     status = F.col(status_col).cast("int")
     http_header = F.concat(
         F.lit("HTTP/1.1 "),
-        status.cast("string"),
+        F.coalesce(status.cast("string"), F.lit("null")),
         F.when(status == 200, F.lit(" OK"))
         .when(status == 301, F.lit(" Moved Permanently"))
         .when(status == 404, F.lit(" Not Found"))

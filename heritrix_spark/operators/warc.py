@@ -182,7 +182,11 @@ def warc_records(
         F.col(status_col).cast("int") if status_col else F.lit(200)
     )
     date = warc_date_col(t_ms)
-    base_id = record_uuid_col(url, date, F.lit("response"))
+    # id hashes the RAW millisecond clock, not the rendered seconds-
+    # resolution WARC-Date: two fetches of one URL inside the same
+    # second must still get distinct WARC-Record-IDs (the reference
+    # guarantees uniqueness via random UUIDs, UUIDGenerator)
+    base_id = record_uuid_col(url, t_ms.cast("string"), F.lit("response"))
 
     http_headers = F.concat(
         F.lit("HTTP/1.1 "),
@@ -598,10 +602,16 @@ def write_part_files(
         import pyarrow as pa
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         name = f"part-{pid:05d}{ext}"
         fsys, root = pafs.FileSystem.from_uri(out_dir)
-        tmp = f"{root}/{name}.tmp"
+        # attempt-scoped tmp name (FileOutputCommitter's rule): a retried
+        # task and a still-running zombie attempt of the same partition
+        # must never share a tmp path — truncate-on-open of a shared path
+        # would let interleaved writes publish a corrupt part file via the
+        # final rename. Last rename wins; each attempt's bytes are whole.
+        tmp = f"{root}/{name}.tmp-{ctx.taskAttemptId()}"
         out = None
         n = 0
         for batch in batches:

@@ -143,8 +143,14 @@ def _re_escape_word(w: str) -> str:
     escaping punctuation with a backslash is legal in both dialects,
     escaping letters is not — so only punctuation is escaped). Keeps
     the url_filter/text_filter shared-list contract for entries like
-    'c++' or '.onion'."""
-    return "".join(c if c.isalnum() and c.isascii() else "\\" + c for c in w)
+    'c++' or '.onion'. Non-ASCII characters pass through UNescaped:
+    they are never regex metacharacters, and a backslash before a
+    letter ('\\é') is itself illegal in the Java dialect — escaping
+    them would make rlike throw PatternSyntaxException at execution
+    time for any accented list word."""
+    return "".join(
+        c if (c.isalnum() or not c.isascii()) else "\\" + c for c in w
+    )
 
 
 def _word_pattern(w: str) -> str:

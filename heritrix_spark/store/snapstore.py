@@ -151,7 +151,15 @@ class SnapStore:
         self._staged = {}
         # expire-snapshots analog: superseded partitions of a compacted
         # table are dead to every future reader (the manifest no longer
-        # lists them). ORDER MATTERS for the crash window: the expired
+        # lists them). Expiry is SCOPED to the snapshots that actually
+        # reference a compacted table's vacuumed deltas — like Iceberg's
+        # per-table expire-snapshots, compacting url_seen_bloom does not
+        # destroy time travel for rounds committed before that table
+        # first wrote (their manifests don't mention it). A snapshot
+        # that does reference any vacuumed delta is expired as a WHOLE
+        # (the store's invariant is "retained snapshot => every table it
+        # lists is fully intact", which also keeps rollback safe).
+        # ORDER MATTERS for the crash window: the expired
         # snapshot-history files are unlinked BEFORE their partitions
         # are vacuumed — a kill in between leaves orphan partitions
         # (harmless: excluded by every manifest, reclaimed by the next
@@ -162,12 +170,36 @@ class SnapStore:
         # makes round_no the latest — drop them too.
         cur = f"r{round_no:06d}.json"
         for name in os.listdir(snap_dir):
-            if not name.endswith(".json"):
+            if not name.endswith(".json") or name == cur:
                 continue
-            if (compacted and name < cur) or name > cur:
-                os.unlink(os.path.join(snap_dir, name))
+            path = os.path.join(snap_dir, name)
+            if name > cur:
+                os.unlink(path)
+                continue
+            if compacted and self._references_vacuumed(path, compacted):
+                os.unlink(path)
         for t, keep in compacted:
             self._vacuum(t, keep)
+
+    @staticmethod
+    def _references_vacuumed(
+        snap_path: str, compacted: list[tuple[str, list[int]]]
+    ) -> bool:
+        """True iff the retained snapshot at ``snap_path`` lists, for any
+        table being compacted, a delta round outside that table's kept
+        set — i.e. data the accompanying vacuum is about to delete."""
+        try:
+            with open(snap_path) as f:
+                old = json.load(f)
+        except (OSError, ValueError):
+            return True  # unreadable history is not retainable
+        for t, keep in compacted:
+            entry = old.get("tables", {}).get(t)
+            if not entry or entry.get("mode") != "delta":
+                continue  # absent, or full-mode (full dirs never vacuumed)
+            if any(r not in keep for r in entry.get("rounds", [])):
+                return True
+        return False
 
     # -------------------------------------------------------------- tables
 

@@ -196,6 +196,6 @@ def test_part_file_sink_edge_cases(spark, tmp_path):
     )
     files = glob.glob(out_one + "/*")
     assert files and all(f.endswith(".warc.gz") for f in files)
-    assert not any(f.endswith(".tmp") for f in files)
+    assert not any(".tmp" in f for f in files)  # incl. attempt-scoped .tmp-<id>
     total = sum(len(gzip_members(open(f, "rb").read())) for f in files)
     assert total == 3  # response + request + metadata

@@ -24,9 +24,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["frontier_counters"](spark, "/root/testdata/sf0.001")
 
 
+# Rows the round-3 driver run already value-verified (CORRECTNESS_r03
+# covered the first 50 registrations). The driver caps its per-round
+# check at 50 rows, so rotation puts the rows it has NOT yet reached
+# first — over successive rounds every registry row gets driver-side
+# verification, not just the same leading 50.
+_DRIVER_VERIFIED = frozenset({
+    "canonicalize", "canonicalize_custom", "surt", "class_key_counts",
+    "seen_dedup", "cuckoo_seen_dedup", "queue_order_heads",
+    "politeness_delay", "robots_allows", "hop_counts",
+    "scheduling_directive", "disposition", "frontier_counters",
+    "top_queues", "budget_retirement", "exact_dedup_docs",
+    "minhash_lsh_pairs", "ngram_jaccard", "neardup_components",
+    "pagerank", "simhash_clusters", "cosine_topk", "text_stats",
+    "doc_fingerprint", "corpus_split", "corpus_sample_fixed",
+    "source_cap_sample", "token_topk", "training_corpus",
+    "events_windowed", "events_sessionized", "crawl_rounds",
+    "seeds_report", "source_host_tally", "extract_outlinks",
+    "queue_precedence", "uuri_fixup", "assignment_level_key",
+    "substats_tally", "crawled_bytes", "cost_policies", "implied_uris",
+    "content_digest", "scope_decisions", "journal_import",
+    "action_directory", "recovery_seed_map", "salted_counts",
+    "doc_extract", "swf_extract",
+})
+
+
+def _rotated(d: dict) -> dict:
+    out = {k: v for k, v in d.items() if k not in _DRIVER_VERIFIED}
+    out.update((k, v) for k, v in d.items() if k in _DRIVER_VERIFIED)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return _rotated(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    return _rotated(ORACLE_SQL)

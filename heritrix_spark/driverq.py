@@ -1830,12 +1830,19 @@ def q_uuri_fixup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     messy = spark.sql(
         "select doc_id, "
-        "case when doc_id % 4 = 0 then ' HTTP://Host' || cast(doc_id % 9 as string)"
+        "case when doc_id % 7 = 0 then ' HTTP://Host' || cast(doc_id % 9 as string)"
         "  || '.Example.COM:80/A B/' || cast(doc_id as string) || '#frag ' "
-        "when doc_id % 4 = 1 then 'https://H' || cast(doc_id % 9 as string)"
+        "when doc_id % 7 = 1 then 'https://H' || cast(doc_id % 9 as string)"
         "  || '.example:443/x/' || cast(doc_id as string) "
-        "when doc_id % 4 = 2 then 'http://h' || cast(doc_id % 9 as string)"
+        "when doc_id % 7 = 2 then 'http://h' || cast(doc_id % 9 as string)"
         "  || '.example.' "
+        "when doc_id % 7 = 3 then 'http://h' || cast(doc_id % 9 as string)"
+        "  || '.example/a/b/../c/./' || cast(doc_id as string) || '/../d' "
+        "when doc_id % 7 = 4 then 'http://h' || cast(doc_id % 9 as string)"
+        "  || '.example' || chr(92) || 'p' || cast(doc_id as string)"
+        "  || '/q?x' || chr(92) || 'y' "
+        "when doc_id % 7 = 5 then 'http:///h' || cast(doc_id % 9 as string)"
+        "  || '.example/%2 ' || chr(160) || 'z\"<>' "
         "else 'http://h' || cast(doc_id % 9 as string) || '.example' end as raw_url "
         "from documents"
     )
@@ -1851,12 +1858,19 @@ def _uuri_fixup_oracle() -> str:
 
     messy = (
         "select doc_id, "
-        "case when doc_id % 4 = 0 then ' HTTP://Host' || cast(doc_id % 9 as string)"
+        "case when doc_id % 7 = 0 then ' HTTP://Host' || cast(doc_id % 9 as string)"
         "  || '.Example.COM:80/A B/' || cast(doc_id as string) || '#frag ' "
-        "when doc_id % 4 = 1 then 'https://H' || cast(doc_id % 9 as string)"
+        "when doc_id % 7 = 1 then 'https://H' || cast(doc_id % 9 as string)"
         "  || '.example:443/x/' || cast(doc_id as string) "
-        "when doc_id % 4 = 2 then 'http://h' || cast(doc_id % 9 as string)"
+        "when doc_id % 7 = 2 then 'http://h' || cast(doc_id % 9 as string)"
         "  || '.example.' "
+        "when doc_id % 7 = 3 then 'http://h' || cast(doc_id % 9 as string)"
+        "  || '.example/a/b/../c/./' || cast(doc_id as string) || '/../d' "
+        "when doc_id % 7 = 4 then 'http://h' || cast(doc_id % 9 as string)"
+        "  || '.example' || chr(92) || 'p' || cast(doc_id as string)"
+        "  || '/q?x' || chr(92) || 'y' "
+        "when doc_id % 7 = 5 then 'http:///h' || cast(doc_id % 9 as string)"
+        "  || '.example/%2 ' || chr(160) || 'z\"<>' "
         "else 'http://h' || cast(doc_id % 9 as string) || '.example' end as raw_url "
         "from documents"
     )
@@ -1870,6 +1884,102 @@ def _uuri_fixup_oracle() -> str:
 
 
 ORACLE_SQL["uuri_fixup"] = _uuri_fixup_oracle()
+
+
+# IDN punycode goldens (UURIFactoryTest.testIdn :896-911 + ASCII controls).
+# DuckDB cannot punycode, so the twin carries the reference's EXPECTED
+# outputs as literals — the row is a golden-value equality check of the
+# vectorized Arrow IDN pass, driven over the documents table.
+_IDN_CASES = [
+    ("http://räksmörgås.josefßon.org/pg", "http://xn--rksmrgs-5wao1o.josefsson.org/pg"),
+    ("http://www.pølse.dk/pg", "http://www.xn--plse-gra.dk/pg"),
+    ("http://例子.測試/pg", "http://xn--fsqu00a.xn--g6w251d/pg"),
+    ("HTTP://Ascii.Example.COM:80/pg", "http://ascii.example.com/pg"),
+    ("http://mixed.pølse.example/pg", "http://mixed.xn--plse-gra.example/pg"),
+]
+
+
+def _uuri_fixup_idn_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, '{out}')" for i, (_, out) in enumerate(_IDN_CASES)
+    )
+    return (
+        "select cast(doc_id as bigint) as doc_id, "
+        "g.fixed_url as fixed_url "
+        f"from documents join (values {rows}) g(k, fixed_url) "
+        f"on doc_id % {len(_IDN_CASES)} = g.k order by doc_id"
+    )
+
+
+# Rabin createKey goldens. The first two rows ARE the reference's pinned
+# values (BdbUriUniqFilterTest.java:89-97); the rest extend coverage
+# (host-prefix locality: the two archive.org rows share top-24 bits).
+_RABIN_CASES = [
+    ("dns:archive.org", 8812917769287344085),
+    ("http://archive.org/index.html", 6613237167064754714),
+    ("http://archive.org/", 6613237824548237978),
+    ("http://www.example.com/path?query", -7722286901541459949),
+    ("https://h1.example:8443/a/b", 6889880003418391114),
+    ("http://xn--rksmrgs-5wao1o.josefsson.org/", -3277284127019727556),
+]
+
+
+def _rabin_fp_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, '{u}', cast({k} as bigint))"
+        for i, (u, k) in enumerate(_RABIN_CASES)
+    )
+    return (
+        "select cast(doc_id as bigint) as doc_id, g.url as url, "
+        "g.rabin_key as rabin_key "
+        f"from documents join (values {rows}) g(k, url, rabin_key) "
+        f"on doc_id % {len(_RABIN_CASES)} = g.k order by doc_id"
+    )
+
+
+@register("rabin_fp", _rabin_fp_oracle())
+def q_rabin_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BdbUriUniqFilter.createKey Rabin fingerprints (FPGenerator
+    std24/std40 GF(2^d) law, st/ata/util/FPGenerator.java; createKey
+    BdbUriUniqFilter.java:303-312) as ONE vectorized Arrow pass — the
+    oracle carries the reference's golden key values as literals."""
+    from heritrix_spark.functions.rabin import rabin_key_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.element_at(
+        F.array(*[F.lit(u) for u, _ in _RABIN_CASES]),
+        (F.col("doc_id") % len(_RABIN_CASES)).cast("int") + 1,
+    )
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            url.alias("url"),
+            rabin_key_col(url).alias("rabin_key"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("uuri_fixup_idn", _uuri_fixup_idn_oracle())
+def q_uuri_fixup_idn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN-punycode fixup (fixupDomainlabel, UURIFactory.java:586-611;
+    gnu.inet.encoding.IDNA goldens UURIFactoryTest.java:896-911) as the
+    Arrow-vectorized :func:`fixup_idn_col` pass — the oracle holds the
+    reference's expected punycode outputs as literals."""
+    from heritrix_spark.functions.fixup import fixup_idn_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = F.element_at(
+        F.array(*[F.lit(u) for u, _ in _IDN_CASES]),
+        (F.col("doc_id") % len(_IDN_CASES)).cast("int") + 1,
+    )
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            fixup_idn_col(raw).alias("fixed_url"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # -------------------------------------------------- 25. assignment-level queue keys

@@ -45,8 +45,21 @@ from pyspark.sql import Window
 from heritrix_spark.functions.colcache import cached
 
 
-def shard_col(canon_url: Column | str, n_shards: int) -> Column:
+def shard_col(
+    canon_url: Column | str, n_shards: int, fp: str = "xxhash64"
+) -> Column:
+    """Seen-set shard key. ``fp="xxhash64"`` (default) is the JVM-side
+    codegen hash — membership semantics don't depend on the hash, so
+    the fast path wins. ``fp="rabin"`` uses the reference's exact
+    BdbUriUniqFilter.createKey Rabin fingerprint
+    (functions/rabin.py; goldens BdbUriUniqFilterTest.java:89-97) for
+    byte-interop with a reference seen-set export — one vectorized
+    Arrow pass, host-prefixed so one authority's URLs share top bits."""
     col = F.col(canon_url) if isinstance(canon_url, str) else canon_url
+    if fp == "rabin":
+        from heritrix_spark.functions.rabin import rabin_key_col
+
+        return F.pmod(rabin_key_col(col), F.lit(n_shards)).cast("int")
     return F.pmod(F.xxhash64(col), F.lit(n_shards)).cast("int")
 
 

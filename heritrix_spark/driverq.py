@@ -1467,7 +1467,20 @@ def _fixture_crawl_log(spark: SparkSession) -> DataFrame:
             log = result.fetch_log().orderBy("round", "class_key", "ordinal")
             _CRAWL_CACHE["rows"] = log.collect()  # detach from tmp store
             _CRAWL_CACHE["schema"] = log.schema
+            lin = result.store.read("lineage").drop("partition_id")
+            _CRAWL_CACHE["lineage_rows"] = lin.collect()
+            _CRAWL_CACHE["lineage_schema"] = lin.schema
     return spark.createDataFrame(_CRAWL_CACHE["rows"], _CRAWL_CACHE["schema"])
+
+
+def _fixture_crawl_lineage(spark: SparkSession) -> DataFrame:
+    """The same fixture crawl's journal/lineage table (F+/Fe/Fs/Ff/Fd/Fr
+    tag rows the loop commits per round)."""
+    if "lineage_rows" not in _CRAWL_CACHE:
+        _fixture_crawl_log(spark)
+    return spark.createDataFrame(
+        _CRAWL_CACHE["lineage_rows"], _CRAWL_CACHE["lineage_schema"]
+    )
 
 
 def q_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1538,6 +1551,58 @@ def _crawl_rounds_oracle() -> str:
 
 QUERIES["crawl_rounds"] = q_crawl_rounds
 ORACLE_SQL["crawl_rounds"] = _crawl_rounds_oracle()
+
+
+def q_frontier_journal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FrontierJournal export equivalence (FrontierJournal.java:54-116):
+    the engine's committed lineage table — F+ on novel schedule, Fe on
+    emit, Fs/Ff/Fd/Fr on finish, per round — against the independent
+    simulator's journal of the same fixture crawl, full-row equality."""
+    return _fixture_crawl_lineage(spark).orderBy(
+        "round", "tag", "class_key", "canon_url"
+    )
+
+
+def _frontier_journal_oracle() -> str:
+    """Export the simulator's journal (recorded at the same write points
+    the reference's FrontierJournal hooks: schedule, emit, finish)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from heritrix_spark.fixtures.gen import generate
+    from heritrix_spark.oracle.simulator import simulate
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "hx_frontier_journal_oracle_h{hosts}d{docs_per_host}l{links_per_doc}"
+        "s{seed}.parquet".format(**_CRAWL_FIXTURE),
+    )
+    if not os.path.exists(path):
+        fx = generate(**_CRAWL_FIXTURE)
+        sim = simulate(fx.doc_map(), fx.seeds, fx.robots_map(), _CRAWL_CFG)
+        schema = pa.schema(
+            [
+                ("round", pa.int32()),
+                ("tag", pa.string()),
+                ("canon_url", pa.string()),
+                ("class_key", pa.string()),
+            ]
+        )
+        table = pa.Table.from_pylist(sim.journal, schema=schema)
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return (
+        f"select * from read_parquet('{path}') "
+        "order by round, tag, class_key, canon_url"
+    )
+
+
+QUERIES["frontier_journal"] = q_frontier_journal
+ORACLE_SQL["frontier_journal"] = _frontier_journal_oracle()
 
 
 # --------------------------- 22a. seeds report + source-tag host tally

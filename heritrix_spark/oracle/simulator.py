@@ -185,6 +185,9 @@ _ROBOTS_URI_RE = re.compile(r"^https?://[^/]+/robots\.txt$")
 class SimResult:
     fetch_log: list[dict] = field(default_factory=list)
     url_seen: set[str] = field(default_factory=set)
+    # FrontierJournal twin (FrontierJournal.java:54-116): one tag row
+    # per event — F+ scheduled-novel, Fe emitted, Fs/Ff/Fd/Fr finished
+    journal: list[dict] = field(default_factory=list)
     rounds: int = 0
     out_of_scope: int = 0
     dup_dropped: int = 0
@@ -301,6 +304,9 @@ def simulate(
         )
         queues.setdefault(ck, []).append(pu)
         hosts.setdefault(ck, HostState())
+        res.journal.append(
+            {"round": 0, "tag": "F+", "canon_url": canon, "class_key": ck}
+        )
 
     from heritrix_spark.operators.prepare import queue_precedence_py
 
@@ -532,6 +538,17 @@ def simulate(
                     "is_seed": uri.is_seed,
                 }
             )
+            # journal twin of the engine's lineage rows (round.py
+            # lineage_tag_disp): Fe on emit + disposition tag
+            _disp_tag = {"success": "Fs", "disregard": "Fd", "retry": "Fr"}
+            res.journal.append(
+                {"round": round_no, "tag": "Fe",
+                 "canon_url": uri.canon_url, "class_key": ck}
+            )
+            res.journal.append(
+                {"round": round_no, "tag": _disp_tag.get(disposition, "Ff"),
+                 "canon_url": uri.canon_url, "class_key": ck}
+            )
 
         # --- candidate pipeline (batch across all ready hosts)
         # mirrors the engine exactly: collapse batch duplicates FIRST
@@ -570,6 +587,10 @@ def simulate(
                 hops_path=child_hops, via=via, source=source, is_seed=is_seed,
             )
             queues.setdefault(ck, []).append(pu)
+            res.journal.append(
+                {"round": round_no, "tag": "F+", "canon_url": canon,
+                 "class_key": ck}
+            )
             # new hosts join the back of the inactive line this round
             hosts.setdefault(ck, HostState(wake_time=0, activation_seq=round_no))
             if is_seed:

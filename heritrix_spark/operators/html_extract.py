@@ -172,6 +172,7 @@ def extract_html_py(
     obey_meta_robots_nofollow: bool = True,
     max_outlinks: int = MAX_OUTLINKS,
     aggressive: bool = False,
+    jericho_forms: bool = False,
 ) -> Tuple[List[Tuple[str, str, str]], Optional[str], int]:
     """The full ExtractorHTML.extract law (:757-816). Returns
     ``(links, meta_robots, discarded)`` with links as ordered
@@ -179,8 +180,13 @@ def extract_html_py(
     reference's kp defaults (:211-294). ``aggressive=True`` is
     AggressiveExtractorHTML.java:44-50: the script *body* is
     additionally scanned as general-tag innards (attribute mining
-    inside script-written markup), after the normal JS string scan."""
+    inside script-written markup), after the normal JS string scan.
+    ``jericho_forms=True`` is the JerichoExtractorHTML differential
+    (processForm :352-421): form links carry the default field values
+    as a GET query string instead of the bare ACTION (the form links
+    append after the tag-scan links rather than in place)."""
     page = _Page(page_url, max_outlinks)
+    suppress_actions = ignore_form_action_urls or jericho_forms
     for m in _TAG_RE.finditer(content):
         if m.start(8) > 0:
             continue  # comment
@@ -190,7 +196,7 @@ def extract_html_py(
         elif m.start(5) > 0:
             _process_general_tag(
                 page, m.group(6), m.group(5),
-                treat_frames_as_embeds, ignore_form_action_urls,
+                treat_frames_as_embeds, suppress_actions,
                 extract_only_form_gets, extract_javascript,
                 extract_value_attributes)
         elif m.start(1) > 0:
@@ -198,14 +204,14 @@ def extract_html_py(
             end_open = m.end(2) - m.start(1)
             _process_general_tag(
                 page, seq[0:6], seq[0:end_open],
-                treat_frames_as_embeds, ignore_form_action_urls,
+                treat_frames_as_embeds, suppress_actions,
                 extract_only_form_gets, extract_javascript,
                 extract_value_attributes)
             _process_script_code(page, seq[end_open:], extract_javascript)
             if aggressive:
                 _process_general_tag(
                     page, seq[0:6], seq[end_open:],
-                    treat_frames_as_embeds, ignore_form_action_urls,
+                    treat_frames_as_embeds, suppress_actions,
                     extract_only_form_gets, extract_javascript,
                     extract_value_attributes)
         elif m.start(3) > 0:
@@ -213,11 +219,14 @@ def extract_html_py(
             end_open = m.end(4) - m.start(3)
             _process_general_tag(
                 page, seq[0:6], seq[0:end_open],
-                treat_frames_as_embeds, ignore_form_action_urls,
+                treat_frames_as_embeds, suppress_actions,
                 extract_only_form_gets, extract_javascript,
                 extract_value_attributes)
             for uri in css_uris_py(seq[end_open:]):
                 page.add(uri, EMBED_MISC, "E")
+    if jericho_forms:
+        _jericho_forms(page, content, ignore_form_action_urls,
+                       extract_only_form_gets, extract_javascript)
     return page.links, page.meta_robots, page.discarded
 
 
@@ -329,6 +338,97 @@ def _process_general_tag(page: _Page, element: str, cs: str,
             page.add(value_val, value_context, "L")
 
 
+# ------------------------------------------------- JerichoExtractorHTML
+# (modules/.../extractor/JerichoExtractorHTML.java:352-421 processForm —
+# the parser-based alternate's ONE behavioral delta vs ExtractorHTML:
+# instead of the bare ACTION url, it submits the form's default field
+# values as a GET query string. Goldens: JerichoExtractorHTMLTest
+# testFormsLinkGet / IgnorePost / FindPost.)
+
+_FORM_RE = re.compile(r"(?is)<form\b([^>]*)>(.*?)(?:</form\s*>|\Z)")
+_CTRL_RE = re.compile(
+    r"(?is)<(input|textarea|button)\b([^>]*)>"
+    r"|<select\b([^>]*)>(.*?)(?:</select\s*>|\Z)"
+)
+_OPT_RE = re.compile(r"(?is)<option\b([^>]*)>")
+
+
+def _tag_attr(attrs: str, name: str) -> Optional[str]:
+    m = re.search(
+        rf"(?is)\b{name}\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))", attrs
+    )
+    if not m:
+        return None
+    return _html.unescape(next(g for g in m.groups() if g is not None))
+
+
+def _has_flag(attrs: str, name: str) -> bool:
+    return re.search(rf"(?is)\b{name}\b", attrs) is not None
+
+
+def _jericho_forms(page: _Page, content: str, ignore_form_actions: bool,
+                   only_form_gets: bool, extract_javascript: bool) -> None:
+    """processForm law: every control contributes ``&name=value`` in
+    document order — checked checkbox/radio their value (default
+    ``on``), unchecked ones an empty value, a select its selected (else
+    first) option, submit its predefined value, text-family controls
+    their value attribute, textarea its content. The first ``&``
+    becomes ``?`` unless the action already has one (:398-416)."""
+    if ignore_form_actions:
+        return  # :359-361 — no form links at all
+    for fm in _FORM_RE.finditer(content):
+        fattrs, body = fm.group(1), fm.group(2)
+        method = _tag_attr(fattrs, "method") or "GET"
+        if only_form_gets and method.upper() != "GET":
+            continue
+        action = _tag_attr(fattrs, "action")
+        name = _tag_attr(fattrs, "name")
+        pairs: List[str] = []
+        for cm in _CTRL_RE.finditer(body):
+            if cm.group(1) is not None:  # input / textarea / button
+                el, attrs = cm.group(1).lower(), cm.group(2)
+                cname = _tag_attr(attrs, "name")
+                if cname is None or el == "button":
+                    continue
+                if el == "textarea":
+                    pairs.append(f"{cname}=")
+                    continue
+                ctype = (_tag_attr(attrs, "type") or "text").lower()
+                if ctype in ("reset", "button", "image", "file"):
+                    continue
+                if ctype in ("checkbox", "radio"):
+                    val = (_tag_attr(attrs, "value") or "on") \
+                        if _has_flag(attrs, "checked") else ""
+                elif ctype == "submit":
+                    val = _tag_attr(attrs, "value") or ""
+                else:
+                    val = _tag_attr(attrs, "value") or ""
+                pairs.append(f"{cname}={val}")
+            else:  # select
+                sattrs, sbody = cm.group(3), cm.group(4)
+                cname = _tag_attr(sattrs, "name")
+                if cname is None:
+                    continue
+                opts = list(_OPT_RE.finditer(sbody))
+                chosen = next(
+                    (o for o in opts if _has_flag(o.group(1), "selected")),
+                    opts[0] if opts else None,
+                )
+                val = _tag_attr(chosen.group(1), "value") if chosen else None
+                pairs.append(f"{cname}={val or ''}")
+        query = "".join("&" + p for p in pairs)
+        if action is None:
+            url = query.replace("&", "?", 1)
+        else:
+            url = action + (
+                query.replace("&", "?", 1) if "?" not in action else query
+            )
+        _process_link(
+            page, url, element_context("form", f"name={name}"),
+            extract_javascript,
+        )
+
+
 def _process_link(page: _Page, value: str, context: str,
                   extract_javascript: bool) -> None:
     """processLink (:600-611): ``javascript:`` HREFs go to the JS
@@ -395,7 +495,15 @@ def html_outlinks(page_url: Column, content: Column, **options) -> Column:
     discovery order — one Arrow-batched pandas UDF (vectorized; the
     stateful scan law is inexpressible in Catalyst regex ops).
     ``options`` are :func:`extract_html_py` keywords bound at plan
-    build (kp defaults otherwise)."""
+    build (kp defaults otherwise).
+
+    A body with no ``<`` cannot match the tag scan (every _TAG_RE
+    alternative starts at '<'), so such rows are nulled JVM-side BEFORE
+    the Arrow exchange — a mixed text/HTML corpus neither serializes
+    nor scans its plain-text bytes through Python (the shouldProcess
+    mimetype gate of ExtractorHTML.java restated as a content probe)."""
+    gated = F.when(content.contains("<"), content)
+
     @F.pandas_udf(LINK_TYPE)
     def _scan(urls: pd.Series, texts: pd.Series) -> pd.Series:
         def one(url, text):
@@ -406,12 +514,14 @@ def html_outlinks(page_url: Column, content: Column, **options) -> Column:
 
         return pd.Series([one(u, t) for u, t in zip(urls, texts)])
 
-    return _scan(page_url, content)
+    return _scan(page_url, gated)
 
 
 def html_meta_robots(page_url: Column, content: Column) -> Column:
     """The recorded A_META_ROBOTS content (first robots meta tag), as a
     string column from the same scan law (None when absent)."""
+    gated = F.when(content.contains("<"), content)  # same probe as outlinks
+
     @F.pandas_udf(StringType())
     def _scan(urls: pd.Series, texts: pd.Series) -> pd.Series:
         def one(url, text):
@@ -423,4 +533,4 @@ def html_meta_robots(page_url: Column, content: Column) -> Column:
         return pd.Series([one(u, t) for u, t in zip(urls, texts)],
                          dtype=object)
 
-    return _scan(page_url, content)
+    return _scan(page_url, gated)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -50,6 +51,51 @@ def apply_rules(rules: list[Rule], start: bool = False) -> Column:
 # ------------------------------------------------------- individual rules
 
 
+SURT_PREFIX_OR_CHAIN_MAX = 64
+
+
+def coalesce_prefixes(prefixes: list[str]) -> list[str]:
+    """SurtPrefixSet coalescing: drop any entry covered by a shorter
+    entry already in the set (``importFrom`` keeps only maximal
+    prefixes, SurtPrefixSet.java:269-330). Returns sorted."""
+    out: list[str] = []
+    for p in sorted(set(prefixes)):
+        if not out or not p.startswith(out[-1]):
+            out.append(p)
+    return out
+
+
+def surt_prefix_member_col(surt: Column, prefixes: list[str]) -> Column:
+    """Large-seed-list SurtPrefixedDecideRule membership — the
+    reference's ``SurtPrefixSet.containsPrefixOf`` bisect-floor law
+    (SurtPrefixSet.java:269-330: headSet floor, then one startswith)
+    as ONE vectorized Arrow pass: np.searchsorted over the sorted
+    coalesced prefix array gives the floor for the whole batch at once,
+    O(log P) per row. An OR-chain of P startswiths is O(P) per row AND
+    overflows the plan-conversion stack beyond a few thousand terms —
+    the 25k-seed soak's failure mode."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    arr = np.array(coalesce_prefixes(prefixes), dtype=object)
+
+    @pandas_udf("boolean")
+    def _member(s: pd.Series) -> pd.Series:
+        vals = s.fillna("").to_numpy(dtype=object)
+        if len(arr) == 0 or len(vals) == 0:
+            return pd.Series(np.zeros(len(vals), dtype=bool))
+        idx = np.searchsorted(arr, vals, side="right") - 1
+        out = np.zeros(len(vals), dtype=bool)
+        mask = idx >= 0
+        floors = arr[np.clip(idx, 0, None)]
+        out[mask] = [
+            v.startswith(p) for v, p in zip(vals[mask], floors[mask])
+        ]
+        return pd.Series(out)
+
+    return _member(surt)
+
+
 def surt_prefix_predicate(
     url: Column, prefixes: list[str], surt: Column | None = None
 ) -> Column:
@@ -57,11 +103,18 @@ def surt_prefix_predicate(
 
     For small prefix sets (the usual case: one prefix per seed host) this
     compiles to an OR of native ``startswith`` — JVM-side, broadcast-free.
-    For very large seed lists use :func:`surt_prefix_join` instead.
+    Beyond ``SURT_PREFIX_OR_CHAIN_MAX`` entries it switches to the
+    bisect-floor membership kernel (:func:`surt_prefix_member_col`) —
+    the OR-chain both evaluates O(P) per row and blows the plan
+    converter's stack at tens of thousands of seeds. The two strategies
+    are equivalent (coalescing removes only covered, hence redundant,
+    entries; pinned in tests/test_scope_scale.py).
     Pass ``surt`` when the SURT form is already materialized (the fused
     url_prep_struct_col path) to avoid a second UDF evaluation.
     """
     s = surt_col(url) if surt is None else surt
+    if len(prefixes) > SURT_PREFIX_OR_CHAIN_MAX:
+        return surt_prefix_member_col(s, prefixes)
     pred = F.lit(False)
     for p in prefixes:
         pred = pred | s.startswith(p)

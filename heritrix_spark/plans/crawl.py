@@ -205,10 +205,13 @@ def crawl(
     base_prefixes = set(prefixes)
     prefixes = sorted(base_prefixes | extra_prefixes)
 
+    import time as _time
+
     while round_no < max_rounds:
         if stop_after_round is not None and round_no >= stop_after_round:
             break
         round_no += 1
+        _round_t0 = _time.monotonic()
         frontier = live_frontier(store)
         host_state = store.read("host_state")
         url_seen = store.read("url_seen")
@@ -371,6 +374,9 @@ def crawl(
                     extra_prefixes |= new
                     prefixes = sorted(base_prefixes | extra_prefixes)
         # a re-run round after a crash replaces its own metrics entry
+        # (wall_ms: real elapsed — plan + writes + commit — for the
+        # LOOP_SCALE soak; the crawl clock itself stays virtual)
+        round_metrics["wall_ms"] = int((_time.monotonic() - _round_t0) * 1000)
         metrics_log = [m for m in metrics_log if m["round"] < round_no]
         metrics_log.append(round_metrics)
         store.commit_round(

@@ -81,7 +81,10 @@ def main():
 
     out = {"sf_dir": sf, "cores": cores, "corpora": {}}
     for name, df in corpora.items():
-        df = df.select("url", "content").localCheckpoint(eager=True)
+        # the tiled blow-up happens AFTER the (tiny) parquet scan, so
+        # repartition first or the whole corpus sits in 1-2 input splits
+        df = df.select("url", "content").repartition(cores * 2)
+        df = df.localCheckpoint(eager=True)
         n_rows = df.count()
         n_bytes = df.select(
             F.sum(F.octet_length("content")).alias("b")).first()["b"]

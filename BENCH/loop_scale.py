@@ -96,10 +96,12 @@ cores = int(sys.argv[1]); data = sys.argv[2]; rounds = int(sys.argv[3])
 digest = sys.argv[4] == "1"
 store_root = f"{{data}}/store_{{cores}}"
 shutil.rmtree(store_root, ignore_errors=True)
+import os as _os
 ui_port = 4100 + cores
+reuse = _os.environ.get("LOOP_WORKER_REUSE", "false")
 spark = build_session(app_name=f"loopscale-{{cores}}", cores=cores,
-                      shuffle_partitions=max(cores * 2, 16),
-                      extra_conf={{"spark.python.worker.reuse": "false",
+                      shuffle_partitions=int(_os.environ.get("LOOP_SHUFFLE", "0")) or max(cores * 2, 16),
+                      extra_conf={{"spark.python.worker.reuse": reuse,
                                    "spark.ui.enabled": "true",
                                    "spark.ui.port": str(ui_port)}})
 spark.sparkContext.setLogLevel("ERROR")
@@ -220,7 +222,9 @@ def main():
             and results[lo].get("frontier_md5") == results[hi].get("frontier_md5")
         ) if digest == "1" and len(cores_levels) > 1 else None,
     }
-    path = os.path.join(REPO, "BENCH", "loop_scale_result.json")
+    path = os.environ.get(
+        "LOOP_RESULT", os.path.join(REPO, "BENCH", "loop_scale_result.json")
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))

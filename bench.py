@@ -73,6 +73,23 @@ def main() -> None:
         head_cuckoo["elapsed_cuckoo_sec"], 3
     )
 
+    # full multi-round crawl loop at sf-proportional candidates/round
+    # (the LOOP_SCALE soak's driver-visible row): sf0.1 → 25k hosts ×
+    # 40 links = 10^6 candidates/round, 3 rounds of the real loop
+    from heritrix_spark.benchlib import run_crawl_loop_bench
+
+    loop_hosts = max(500, int(250_000 * (sf if sf else 0.1)))
+    with tempfile.TemporaryDirectory(prefix="hxloop_") as tmp:
+        loop = run_crawl_loop_bench(spark, tmp, loop_hosts, 40, rounds=3)
+    queries["crawl_loop_rounds"] = round(loop["elapsed_sec"], 3)
+    total += loop["elapsed_sec"]
+    print(
+        f"bench: crawl_loop_rounds {loop['elapsed_sec']:.1f}s "
+        f"({loop['candidates_per_round']} cands/round, "
+        f"steady {loop['steady_candidates_per_sec']}/s)",
+        file=sys.stderr, flush=True,
+    )
+
     # registry queries at the given sf
     for name in sorted(QUERIES):
         t0 = time.monotonic()
@@ -98,6 +115,11 @@ def main() -> None:
         "urls_scheduled_deduped_per_sec_cuckoo": round(
             head_cuckoo["urls_per_sec_cuckoo"], 1
         ),
+        "crawl_loop_candidates_per_round": loop["candidates_per_round"],
+        "crawl_loop_per_round_wall_ms": loop["per_round_wall_ms"],
+        "crawl_loop_steady_candidates_per_sec": loop[
+            "steady_candidates_per_sec"
+        ],
         "cores": cpus,
     }
     print(json.dumps(out))

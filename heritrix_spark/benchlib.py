@@ -307,3 +307,85 @@ def training_pipeline(docs: DataFrame) -> DataFrame:
             F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}
         ).alias("split"),
     )
+
+
+def synth_crawl_corpus(spark: SparkSession, out_dir: str, hosts: int,
+                       children: int = 40) -> None:
+    """The LOOP_SCALE soak corpus (input_hint shape), sized for
+    candidates/round = hosts * children: per host a seed page plus
+    ``children`` child pages, every page's one text span linking to the
+    same ``children`` children — round 1 floods novel URLs, every later
+    round is the steady state (all candidates already seen)."""
+    from pyspark.sql import Window
+
+    base = spark.range(hosts).select(
+        F.concat(F.lit("http://h"), F.col("id"), F.lit(".example")).alias("base")
+    )
+    links = F.concat_ws(" ", F.array(*[
+        F.concat(F.col("base"), F.lit(f"/c/{j}")) for j in range(children)
+    ]))
+    span = F.array(F.struct(
+        F.lit("text").alias("kind"), links.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    ))
+    seed_docs = base.select(
+        F.concat(F.col("base"), F.lit("/")).alias("doc_id"), span.alias("spans")
+    )
+    child_docs = (
+        base.crossJoin(spark.range(children).select(F.col("id").alias("j")))
+        .select(
+            F.concat(F.col("base"), F.lit("/c/"), F.col("j")).alias("doc_id"),
+            span.alias("spans"),
+        )
+    )
+    seed_docs.unionByName(child_docs).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(out_dir + "/docs")
+    base.select(F.concat(F.col("base"), F.lit("/")).alias("url")).withColumn(
+        "seq", (F.row_number().over(Window.orderBy("url")) - 1).cast("int")
+    ).write.mode("overwrite").parquet(out_dir + "/seeds")
+    base.select(
+        class_key_col(F.concat(F.col("base"), F.lit("/"))).alias("class_key")
+    ).withColumn("allows", F.array(F.lit("/"))).withColumn(
+        "disallows", F.array().cast("array<string>")
+    ).withColumn("crawl_delay", F.lit(None).cast("double")).write.mode(
+        "overwrite"
+    ).parquet(out_dir + "/robots")
+
+
+def run_crawl_loop_bench(spark: SparkSession, tmp: str, hosts: int,
+                         children: int = 40, rounds: int = 3) -> dict:
+    """The FULL multi-round crawl loop (plans/crawl.py — extraction,
+    schedule+dedup, politeness, store commits) at hosts*children
+    candidates/round; returns per-round walls from the loop's own
+    metrics. This is the driver-visible form of BENCH/loop_scale.py."""
+    from heritrix_spark.constants import PolitenessConfig
+    from heritrix_spark.plans.crawl import crawl
+
+    synth_crawl_corpus(spark, tmp, hosts, children)
+    t0 = time.monotonic()
+    res = crawl(
+        spark,
+        f"{tmp}/store",
+        spark.read.parquet(f"{tmp}/docs"),
+        spark.read.parquet(f"{tmp}/seeds"),
+        spark.read.parquet(f"{tmp}/robots"),
+        PolitenessConfig(),
+        stop_after_round=rounds,
+    )
+    wall = time.monotonic() - t0
+    meta = res.store.manifest()["meta"]
+    timed = [m for m in meta["metrics_log"] if m.get("wall_ms")]
+    per_round = [m["wall_ms"] for m in timed]
+    steady = [m["wall_ms"] for m in timed if m["round"] >= 2]
+    steady_s = (sum(steady) / 1000) if steady else None
+    return {
+        "elapsed_sec": wall,
+        "rounds": res.rounds,
+        "candidates_per_round": hosts * children,
+        "per_round_wall_ms": per_round,
+        "steady_candidates_per_sec": (
+            round(len(steady) * hosts * children / steady_s, 1) if steady_s else None
+        ),
+    }

@@ -112,13 +112,18 @@ def crawl(
     stop_after_round: int | None = None,
     reconsider_retired: bool = False,
     host_config: DataFrame | None = None,
+    store_factory=None,
 ) -> CrawlResult:
     """Run (or resume) a crawl to completion. ``stop_after_round`` kills
     the loop early — used by the resume tests. ``reconsider_retired``
     un-retires every retired queue once at (re)start — the operator
     action for changed budgets (WorkQueueFrontier.reconsiderRetiredQueues
-    :525-545); still-over-budget queues re-retire on their next round."""
-    store = SnapStore(store_root, spark)
+    :525-545); still-over-budget queues re-retire on their next round.
+    ``store_factory(store_root, spark)`` selects the state backend —
+    default :class:`SnapStore` (parquet + atomic manifest); pass
+    :class:`heritrix_spark.store.iceberg.IcebergStore` on a cluster
+    with an Iceberg catalog (store_root = table namespace)."""
+    store = (store_factory or SnapStore)(store_root, spark)
     prefixes = seed_scope_prefixes_spark(seeds)
 
     manifest = store.manifest()

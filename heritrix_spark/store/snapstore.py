@@ -255,6 +255,15 @@ class SnapStore:
             with open(tmp, "w") as f:
                 f.write(df.schema.json())
             os.replace(tmp, sidecar)
+        if partition_by:
+            # co-locate rows with their hive partition BEFORE the write:
+            # without this every writer task opens a file in every
+            # partition dir (shuffle_partitions × n_shards files per
+            # round — measured 4096 url_seen files/round at the 10^7
+            # soak, whose read exploded into a 6000+-task wait-bound
+            # stage). One shuffle on the partition key caps the table at
+            # ~one file per partition value per round.
+            df = df.repartition(*[F.col(c) for c in partition_by])
         (
             df.withColumn(DELTA_COL, F.lit(round_no).cast("int"))
             .write.mode("overwrite")

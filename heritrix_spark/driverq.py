@@ -5502,6 +5502,81 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------- JerichoExtractorHTML forms
+
+_JF_BODY = (
+    "'<form name=\"tf\" method=\"' "
+    "|| case when doc_id % 3 = 0 then 'POST' else 'GET' end "
+    "|| '\" action=\"act' || cast(doc_id as string) || '.cgi' "
+    "|| case when doc_id % 3 = 1 then '?x=1' else '' end || '\">' "
+    "|| '<input type=\"hidden\" name=\"h\" value=\"v' || cast(doc_id as string) || '\">' "
+    "|| '<input type=\"checkbox\" name=\"cb\" value=\"1\"' "
+    "|| case when doc_id % 2 = 0 then ' checked' else '' end || '>' "
+    "|| '<select name=\"sel\">' "
+    "|| '<option value=\"f' || cast(doc_id % 7 as string) || '\">a</option>' "
+    "|| '<option value=\"s' || cast(doc_id % 5 as string) || '\"' "
+    "|| case when doc_id % 5 <> 0 then ' selected' else '' end || '>b</option>' "
+    "|| '</select>' "
+    "|| '<input type=\"submit\" name=\"sub\" value=\"Go\"></form>'"
+)
+
+
+def _jericho_forms_oracle() -> str:
+    """Twin re-derived from the generator arithmetic: the Jericho
+    processForm law (action + default field values as a GET query;
+    POST dropped; unchecked box empty; selected-else-first option)."""
+    return """
+select cast(doc_id as bigint) as doc_id,
+  'http://pg' || cast(doc_id % 9 as string) || '.example/dir/act'
+    || cast(doc_id as string) || '.cgi'
+    || case when doc_id % 3 = 1 then '?x=1&' else '?' end
+    || 'h=v' || cast(doc_id as string)
+    || '&cb=' || case when doc_id % 2 = 0 then '1' else '' end
+    || '&sel=' || case when doc_id % 5 <> 0
+                       then 's' || cast(doc_id % 5 as string)
+                       else 'f' || cast(doc_id % 7 as string) end
+    || '&sub=Go' as uri,
+  'form/@name=tf' as context, 'L' as hop
+from documents where doc_id % 3 <> 0 order by doc_id
+"""
+
+
+@register("jericho_forms", _jericho_forms_oracle())
+def q_jericho_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JerichoExtractorHTML differential (processForm,
+    JerichoExtractorHTML.java:352-421; goldens
+    JerichoExtractorHTMLTest.java:58-148): form links carry the default
+    field values as a GET query string — checked boxes their value,
+    unchecked an empty value, selects their selected-else-first option,
+    submits their predefined value; POST forms drop under
+    extractOnlyFormGets. One Arrow pass with jericho_forms=True."""
+    from heritrix_spark.operators.html_extract import html_outlinks
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    aug = spark.sql(
+        "select doc_id, 'http://pg' || cast(doc_id % 9 as string)"
+        " || '.example/dir/page.html' as page_url, "
+        f"{_JF_BODY} as body from documents"
+    )
+    links = aug.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            html_outlinks(F.col("page_url"), F.col("body"), jericho_forms=True)
+        ).alias("lk"),
+    )
+    return (
+        links.select(
+            "doc_id",
+            F.col("lk.uri").alias("uri"),
+            F.col("lk.context").alias("context"),
+            F.col("lk.hop").alias("hop"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------ RobotsPolicy family
 
 #: Per-doc planted policy dimension: primary UA "crawler" has a named

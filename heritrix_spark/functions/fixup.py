@@ -142,31 +142,66 @@ def _java_repl(repl: str) -> str:
     return re.sub(r"\$(\d)", r"\\\1", repl)
 
 
+# precompiled rule tables + literal trigger per group: fixup_py runs
+# PER EXTRACTED LINK inside the Python extraction kernels
+# (html_extract.py page.add), so every rule carries a cheap containment
+# short-circuit \u2014 the triggers are semantic no-ops (a rule whose
+# trigger is absent cannot match) and keep all three backends aligned.
+_TRIM_RE = re.compile(r"^\s+|\s+$")
+_CTL_RE = re.compile(r"[\n\r\t]")
+_FRAG_RE = re.compile(r"#.*$")
+_TAILDOT_RE = re.compile(r"\.(:[0-9]+)?$")
+_LEADDOT_RE = re.compile(r"^\.")
+_P80_RE = re.compile(r":80$")
+_P443_RE = re.compile(r":443$")
+_PRE_COMPILED = [
+    (re.compile(p), _java_repl(r), n, t)
+    for (p, r, n), t in zip(_PRE_RULES, ["\\", ":///"])
+]
+_REST_COMPILED = [
+    (re.compile(p), _java_repl(r), n) for p, r, n in _REST_RULES
+]
+
+
 def fixup_py(url: str) -> str:
-    u = re.sub("\u00a0", " ", url)
-    u = re.sub(r"^\s+|\s+$", "", u)
-    u = re.sub(r"[\n\r\t]", "", u)
-    u = re.sub(r"#.*$", "", u)
-    for pat, repl, n in _PRE_RULES:
+    u = url
+    if "\u00a0" in u:
+        u = u.replace("\u00a0", " ")
+    u = _TRIM_RE.sub("", u)
+    if "\n" in u or "\r" in u or "\t" in u:
+        u = _CTL_RE.sub("", u)
+    if "#" in u:
+        u = _FRAG_RE.sub("", u)
+    for pat, repl, n, trigger in _PRE_COMPILED:
+        if trigger not in u:
+            continue
         for _ in range(n):
-            u = re.sub(pat, _java_repl(repl), u, count=1)
+            u2 = pat.sub(repl, u, count=1)
+            if u2 == u:
+                break
+            u = u2
     m = _AUTH_RE.match(u)
     if not m:
         return u
     scheme = m.group(1).lower()
     auth = m.group(2).lower()
-    auth = re.sub(r"\.(:[0-9]+)?$", r"\1", auth)
-    auth = re.sub(r"^\.", "", auth)
+    auth = _TAILDOT_RE.sub(r"\1", auth)
+    auth = _LEADDOT_RE.sub("", auth)
     if scheme == "http://":
-        auth = re.sub(r":80$", "", auth)
+        auth = _P80_RE.sub("", auth)
     elif scheme == "https://":
-        auth = re.sub(r":443$", "", auth)
+        auth = _P443_RE.sub("", auth)
     rest = m.group(3)
     for lit, esc in _ESCAPES:
-        rest = rest.replace(lit, esc)
-    for pat, repl, n in _REST_RULES:
-        for _ in range(n):
-            rest = re.sub(pat, _java_repl(repl), rest, count=1)
+        if lit in rest:
+            rest = rest.replace(lit, esc)
+    if "/." in rest:  # every _REST_RULES pattern requires a '/.'
+        for pat, repl, n in _REST_COMPILED:
+            for _ in range(n):
+                r2 = pat.sub(repl, rest, count=1)
+                if r2 == rest:
+                    break
+                rest = r2
     if rest == "":
         rest = "/"
     return scheme + auth + rest

@@ -24,12 +24,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["frontier_counters"](spark, "/root/testdata/sf0.001")
 
 
-# Rows the round-3 driver run already value-verified (CORRECTNESS_r03
-# covered the first 50 registrations). The driver caps its per-round
-# check at 50 rows, so rotation puts the rows it has NOT yet reached
-# first — over successive rounds every registry row gets driver-side
-# verification, not just the same leading 50.
+# Rows earlier driver rounds already value-verified (CORRECTNESS_r03
+# covered the first 50 registrations; CORRECTNESS_r04 covered the next
+# 50). The driver caps its per-round check at 50 rows, so rotation puts
+# the rows it has NOT yet reached first — over successive rounds every
+# registry row gets driver-side verification, not just the same leading
+# 50. After the r4 rotation only 7 rows remain unseen by any driver
+# round (arc_metalines, corpus_datacard, crawl_log_lines,
+# decontaminate_removal, host_overlay_delay, kw3_files,
+# text_badword_docs); this set makes them register first.
 _DRIVER_VERIFIED = frozenset({
+    # r1–r3 driver rounds
     "canonicalize", "canonicalize_custom", "surt", "class_key_counts",
     "seen_dedup", "cuckoo_seen_dedup", "queue_order_heads",
     "politeness_delay", "robots_allows", "hop_counts",
@@ -46,6 +51,24 @@ _DRIVER_VERIFIED = frozenset({
     "content_digest", "scope_decisions", "journal_import",
     "action_directory", "recovery_seed_map", "salted_counts",
     "doc_extract", "swf_extract",
+    # r4 driver round (CORRECTNESS_r04.json)
+    "adaptive_revisit", "congestion_report", "consistent_subqueues",
+    "cross_doc_ngram_dup", "css_extract", "decontaminate_ngram",
+    "delete_uris", "domain_max_docs", "embedding_neardup_pairs",
+    "fetch_history_revisits", "frontier_journal", "gopher_quality",
+    "gopher_repetition", "hash_mapper", "hashed_classifier_score",
+    "host_quotas", "html_extract", "http_header_links",
+    "ip_queue_assignment", "ivf_topk", "jericho_forms", "js_extract",
+    "lexical_mapper", "line_dedup", "mirror_paths",
+    "multimodal_features", "pack_sequences", "persist_continuation",
+    "pii_redaction", "precedence_histogram", "queue_depths", "rabin_fp",
+    "resource_rules", "revisit_peek", "robots_policies",
+    "scope_named_rules", "simhash_neardup_pairs", "source_mixture",
+    "stateful_seen_dedup", "streaming_ingest",
+    "streaming_windowed_metrics", "unigram_logprob",
+    "universal_extract", "uri_extract", "url_filter", "uuri_fixup_idn",
+    "video_frame_sample", "warc_records", "warc_roundtrip",
+    "xml_extract",
 })
 
 

@@ -73,6 +73,16 @@ def extract_outlinks(
     outlink row — the CrawlURI "heritable data" channel
     (CrawlURI.makeHeritable: e.g. the A_SOURCE_TAG seed attribution
     flows from parent to child on link creation).
+
+    Physical shape: the per-document outlink cap is applied INSIDE the
+    document's link array (``flatten`` → ``slice(max_outlinks)``) before
+    the explode, never as a ``row_number() over (partition by
+    parent_ordinal)`` window. The window version shuffled and sorted
+    every extracted link (one 10^7-row exchange per crawl round measured
+    at the 10^7-candidate soak) just to drop the rare over-cap tail; the
+    array slice is exact (link_seq order IS array order by construction)
+    and keeps extraction a single pipelined map stage feeding the URL-
+    prep UDF with no exchange in between.
     """
     # The whole expression set is static given the parameters —
     # built once per crawl, reused every round (functions/colcache.py).
@@ -90,17 +100,8 @@ def extract_outlinks(
             ~(mr.contains("nofollow") | mr.contains("none"))
         )
 
-    spans = eligible.select(*X["spans_sel"])
-    span_links = spans.withColumn("links", X["links_col"])
-    links = span_links.select(*X["exploded_sel"]).select(*X["links_sel"])
-
-    capped = (
-        links.withColumn("__rank", X["rank_col"])
-        .withColumn("discarded_outlinks", X["discard_col"])
-        .filter(F.col("__rank") <= max_outlinks)
-        .drop("__rank")
-    )
-    return capped
+    doc_links = eligible.select(*X["doc_sel"])
+    return doc_links.select(*X["exploded_sel"]).select(*X["links_sel"])
 
 
 def _extract_exprs(
@@ -116,101 +117,104 @@ def _extract_exprs(
         & F.col("spans").isNotNull()
     )
     carried = tuple(F.col(c) for c in carry_cols)
-    spans_sel = (
+    _EMPTY = F.array().cast("array<struct<target:string,hop_char:string>>")
+
+    def _span_links(s):
+        """One span struct → array<struct<target, hop_char>> in in-span
+        order (null-safe: a null text/media_ref yields an empty array,
+        never a null element that would null the whole flatten)."""
+        text_links = F.transform(
+            F.regexp_extract_all(s["text"], F.lit(URL_IN_TEXT_PATTERN), 0),
+            lambda u: F.struct(u.alias("target"), F.lit("L").alias("hop_char")),
+        )
+        # kind='script': URLs found in script content are SPECULATIVE
+        # ('X') links (ExtractorHTML.processScript / considerStrings
+        # speculative extraction; Hop.SPECULATIVE, Hop.java:41-44)
+        script_links = F.transform(
+            F.regexp_extract_all(s["text"], F.lit(URL_IN_TEXT_PATTERN), 0),
+            lambda u: F.struct(u.alias("target"), F.lit("X").alias("hop_char")),
+        )
+        media_links = F.when(
+            s["media_ref"].isNotNull() & (s["media_ref"] != ""),
+            F.array(
+                F.struct(
+                    s["media_ref"].alias("target"), F.lit("E").alias("hop_char")
+                )
+            ),
+        ).otherwise(_EMPTY)
+        # kind='redirect': the span's media_ref is the Location header →
+        # one 'R' outlink (ExtractorHTTP.java Location handling);
+        # kind='refresh': <meta http-equiv=refresh content=";url=X"> →
+        # one 'R' (REFER) outlink (ExtractorHTML.java:907-918
+        # addRelativeToBase(..., Hop.REFER))
+        redirect_links = F.when(
+            s["media_ref"].isNotNull() & (s["media_ref"] != ""),
+            F.array(
+                F.struct(
+                    s["media_ref"].alias("target"), F.lit("R").alias("hop_char")
+                )
+            ),
+        ).otherwise(_EMPTY)
+        return F.coalesce(
+            F.when(s["kind"] == "text", text_links)
+            .when(s["kind"] == "script", script_links)
+            .when(s["kind"] == "redirect", redirect_links)
+            .when(s["kind"] == "refresh", redirect_links)
+            .otherwise(media_links),
+            _EMPTY,
+        )
+
+    # doc-level link array in (span position, in-span position) order,
+    # link_seq baked in; the outlink cap is an exact array slice here —
+    # no exchange, no per-document window (see extract_outlinks doc)
+    all_links = F.flatten(
+        F.transform(
+            F.col("spans"),
+            lambda s, i: F.transform(
+                _span_links(s),
+                lambda link, j: F.struct(
+                    (i.cast("long") * F.lit(1 << 20) + j.cast("long")).alias(
+                        "link_seq"
+                    ),
+                    link["target"].alias("target"),
+                    link["hop_char"].alias("hop_char"),
+                ),
+            ),
+        )
+    )
+    doc_sel = (
         F.col(url_col).alias("via"),
         F.col(ordinal_col).alias("parent_ordinal"),
         F.col("hops_path").alias("via_hops_path"),
         *carried,
-        F.posexplode("spans").alias("span_pos", "span"),
+        F.slice(all_links, 1, max_outlinks).alias("__links"),
+        F.greatest(F.size(all_links) - F.lit(max_outlinks), F.lit(0))
+        .cast("int")
+        .alias("discarded_outlinks"),
     )
-
-    # per-span array<struct<target, hop_char>> in in-span order
-    text_links = F.transform(
-        F.regexp_extract_all(F.col("span.text"), F.lit(URL_IN_TEXT_PATTERN), 0),
-        lambda u: F.struct(u.alias("target"), F.lit("L").alias("hop_char")),
-    )
-    # kind='script': URLs found in script content are SPECULATIVE ('X')
-    # links (ExtractorHTML.processScript / considerStrings speculative
-    # extraction; Hop.SPECULATIVE, Hop.java:41-44)
-    script_links = F.transform(
-        F.regexp_extract_all(F.col("span.text"), F.lit(URL_IN_TEXT_PATTERN), 0),
-        lambda u: F.struct(u.alias("target"), F.lit("X").alias("hop_char")),
-    )
-    media_links = F.when(
-        F.col("span.media_ref").isNotNull() & (F.col("span.media_ref") != ""),
-        F.array(
-            F.struct(
-                F.col("span.media_ref").alias("target"),
-                F.lit("E").alias("hop_char"),
-            )
-        ),
-    ).otherwise(F.array().cast("array<struct<target:string,hop_char:string>>"))
-
-    # kind='redirect': the span's media_ref is the Location header →
-    # one 'R' outlink (ExtractorHTTP.java Location handling)
-    redirect_links = F.when(
-        F.col("span.media_ref").isNotNull() & (F.col("span.media_ref") != ""),
-        F.array(
-            F.struct(
-                F.col("span.media_ref").alias("target"),
-                F.lit("R").alias("hop_char"),
-            )
-        ),
-    ).otherwise(F.array().cast("array<struct<target:string,hop_char:string>>"))
-
-    # kind='refresh': a <meta http-equiv=refresh content="...;url=X">
-    # span's media_ref is the refresh target → one 'R' (REFER) outlink
-    # (ExtractorHTML.java:907-918 addRelativeToBase(..., Hop.REFER))
-    refresh_links = redirect_links
-
-    links_col = (
-        F.when(F.col("span.kind") == "text", text_links)
-        .when(F.col("span.kind") == "script", script_links)
-        .when(F.col("span.kind") == "redirect", redirect_links)
-        .when(F.col("span.kind") == "refresh", refresh_links)
-        .otherwise(media_links)
-    )
-
     exploded_sel = (
         F.col("via"),
         F.col("parent_ordinal"),
         F.col("via_hops_path"),
         *carried,
-        F.col("span_pos"),
-        F.posexplode("links").alias("link_pos", "link"),
+        F.col("discarded_outlinks"),
+        F.explode("__links").alias("link"),
     )
     links_sel = (
         F.col("via"),
         F.col("parent_ordinal"),
         F.col("via_hops_path"),
         *carried,
-        (F.col("span_pos").cast("long") * F.lit(1 << 20) + F.col("link_pos")).alias(
-            "link_seq"
-        ),
+        F.col("link.link_seq").alias("link_seq"),
         F.col("link.target").alias("target"),
         F.col("link.hop_char").alias("hop_char"),
+        F.col("discarded_outlinks"),
     )
-
-    # Outlink cap: keep the first max_outlinks per document in link order.
-    # Window is per parent document — bounded cardinality (spans per doc),
-    # never a scale hazard.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("parent_ordinal").orderBy("link_seq")
-    rank_col = F.row_number().over(w)
-    discard_col = F.greatest(
-        F.count("*").over(Window.partitionBy("parent_ordinal"))
-        - F.lit(max_outlinks),
-        F.lit(0),
-    ).cast("int")
     return {
         "eligible": eligible,
-        "spans_sel": spans_sel,
-        "links_col": links_col,
+        "doc_sel": doc_sel,
         "exploded_sel": exploded_sel,
         "links_sel": links_sel,
-        "rank_col": rank_col,
-        "discard_col": discard_col,
     }
 
 

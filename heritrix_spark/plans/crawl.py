@@ -59,14 +59,25 @@ def live_frontier(store: SnapStore) -> DataFrame | None:
     Tombstones live in the same delta table flagged ``tombstone=true``
     (equivalent to a separate delete-file table, but one write job per
     round instead of two — per-round job count is the fixture-scale
-    bottleneck and a real cost at any scale)."""
+    bottleneck and a real cost at any scale).
+
+    The anti-join BROADCASTS the tombstone side explicitly: tombstones
+    are two ints per emitted row since the last compaction — bounded by
+    ``COMPACT_EVERY × hosts``, orders of magnitude under the row-version
+    side — but their size ESTIMATE comes from the whole delta table's
+    parquet stats, so without the hint Catalyst picks a sort-merge join
+    and shuffles every full-width frontier row version on (ordinal,
+    delta_round): measured 2.28 GB/round at the 10^7-candidate soak,
+    the single largest exchange in the loop. At extreme host counts
+    where even that bound outgrows broadcast, Iceberg positional
+    deletes replace this resolution entirely (store/iceberg.py)."""
     deltas = store.read("frontier")
     if deltas is None:
         return None
     tombs = deltas.filter(F.col("tombstone")).select("ordinal", "delta_round")
     return (
         deltas.filter(~F.col("tombstone"))
-        .join(tombs, on=["ordinal", "delta_round"], how="left_anti")
+        .join(F.broadcast(tombs), on=["ordinal", "delta_round"], how="left_anti")
         .drop("tombstone")
     )
 

@@ -391,22 +391,10 @@ def _build_round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) ->
         defer_cond = F.lit(False)
     E["is_robots_uri"] = is_robots_uri
 
-    # ---- head-of-queue pick (min-struct; see run_round comments)
-    head_fields = [c for c in FRONTIER_COLUMNS if c != "class_key"] + [
-        "delta_round",
-        "robots_fetched",
-    ]
-    order_first = ["directive", "precedence", "ordinal"]
-    head_rest = [c for c in head_fields if c not in order_first]
+    # ---- head-of-queue pick (narrow min-struct; see run_round comments)
     E["head_agg"] = F.min(
-        F.struct(
-            *[F.col(c) for c in order_first],
-            *[F.col(c) for c in head_rest],
-        )
+        F.struct(F.col("directive"), F.col("precedence"), F.col("ordinal"))
     ).alias("__head")
-    E["head_sel"] = tuple(
-        F.col(f"__head.{c}").alias(c) for c in (*order_first, *head_rest)
-    )
     E["act_w_rank"] = F.row_number().over(
         Window.orderBy(F.asc("__qprec"), F.asc("activation_seq"), F.asc("class_key"))
     )
@@ -770,25 +758,40 @@ def run_round(
             .filter(F.col("__arank") <= cfg.max_hosts_per_round)
             .drop("__arank")
         )
-    # head-of-queue pick, ready hosts only. Two scale-critical physical
+    # head-of-queue pick, ready hosts only. Three scale-critical physical
     # choices vs the naive "window-rank the whole frontier then join":
     # 1. the broadcast semi-join with ready_hosts comes FIRST, so the
     #    head-pick only touches the ready hosts' pending rows (partition
     #    pruning by host), never the full 10^10-row frontier;
-    # 2. the pick itself is min(struct(directive, precedence, ordinal,
-    #    rest...)) — the BdbMultipleWorkQueues insert-key order
-    #    (:425-441) as a lexicographic struct-min. A hash aggregate
-    #    partially combines map-side (one candidate head per host per
-    #    input partition crosses the shuffle); a row_number window must
-    #    shuffle every row first. Ordinal is unique per host, so the
-    #    min never reaches the non-ordering fields — deterministic.
+    # 2. the pick itself is min(struct(directive, precedence, ordinal))
+    #    — the BdbMultipleWorkQueues insert-key order (:425-441) as a
+    #    lexicographic struct-min. A hash aggregate partially combines
+    #    map-side (one candidate head per host per input partition
+    #    crosses the shuffle); a row_number window must shuffle every
+    #    row first. Ordinal is unique per host, so the min is a unique
+    #    winner — deterministic;
+    # 3. the aggregate shuffles ONLY the three ordering columns +
+    #    class_key (a few dozen bytes/row); the winners' full payload
+    #    rows come from a broadcast semi-join back on ordinal (unique
+    #    across the live frontier — the same invariant the tombstone
+    #    anti-join relies on). Shuffling the whole row through the
+    #    min-struct measured 2.28 GB/round at the 10^7-candidate soak
+    #    (~7x the narrow shuffle) and forced a full-width SortAggregate;
+    #    the picked-ordinal broadcast is one long per ready host.
     ready_hosts = ready.select("class_key", "robots_fetched")
-    emitted = (
-        frontier.join(F.broadcast(ready_hosts), on="class_key", how="inner")
+    pick = (
+        frontier.join(
+            F.broadcast(ready_hosts.select("class_key")),
+            on="class_key",
+            how="leftsemi",
+        )
         .groupBy("class_key")
         .agg(E["head_agg"])
-        .select("class_key", *E["head_sel"])
+        .select(F.col("__head.ordinal").alias("ordinal"))
     )
+    emitted = frontier.join(
+        F.broadcast(pick), on="ordinal", how="leftsemi"
+    ).join(F.broadcast(ready_hosts), on="class_key", how="inner")
 
     # ---- fetch (spec step 2): robots gate + docs join
     emitted = join_robots(emitted, robots)  # adds robots_allowed, crawl_delay
@@ -802,7 +805,23 @@ def run_round(
     is_robots_uri = E["is_robots_uri"]
     from heritrix_spark.constants import S_DEFERRED
 
-    docs_sel = docs.select(F.col("doc_id"), F.col("spans"))
+    # The docs "fetch" join prefilters the docs side with an explicit
+    # broadcast semi-join on the picked canon_urls (a second NARROW
+    # frontier scan reusing the broadcast pick). Only the scheduled
+    # rows' documents ever reach the join's exchange — without this the
+    # left-outer SMJ shuffles the ENTIRE docs table every round
+    # (measured 2.28 GB/round at the 10^7 soak whenever Catalyst's
+    # runtime bloom-filter declined to inject, which depends on fragile
+    # size estimates). This is also the production shape: a round
+    # fetches what it scheduled, never the whole corpus.
+    picked_keys = (
+        frontier.select("ordinal", "canon_url")
+        .join(F.broadcast(pick), on="ordinal", how="leftsemi")
+        .select(F.col("canon_url").alias("doc_id"))
+    )
+    docs_sel = docs.select(F.col("doc_id"), F.col("spans")).join(
+        F.broadcast(picked_keys), on="doc_id", how="leftsemi"
+    )
     fetched = emitted.join(
         docs_sel, on=emitted["canon_url"] == docs_sel["doc_id"], how="left"
     ).drop("doc_id")
@@ -929,7 +948,12 @@ def run_round(
     # tombstones carry (ordinal, delta_round): each emitted row's exact
     # stored version — the Iceberg positional-delete key
     emitted_ordinals = fetched.select("ordinal", "delta_round")
-    remaining = frontier.join(emitted_ordinals, on="ordinal", how="left_anti")
+    # broadcast: one (ordinal, delta_round) pair per emitted row — the
+    # full-frontier side must not shuffle just to drop them (same
+    # reasoning as live_frontier's tombstone broadcast)
+    remaining = frontier.join(
+        F.broadcast(emitted_ordinals), on="ordinal", how="left_anti"
+    )
     retries = (
         fetched.filter(F.col("disposition") == "retry")
         .withColumn("attempts", E["retry_attempts"])
@@ -948,7 +972,9 @@ def run_round(
     frontier_delta = retries.unionByName(novel_frontier)
     if injected_futures is not None:
         frontier_delta = frontier_delta.unionByName(
-            injected_futures.join(emitted_ordinals, on="ordinal", how="left_anti")
+            injected_futures.join(
+                F.broadcast(emitted_ordinals), on="ordinal", how="left_anti"
+            )
         )
 
     # ---- future rescheduling (spec step 7: recrawl successful seeds)

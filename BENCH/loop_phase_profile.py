@@ -41,7 +41,7 @@ def main() -> None:
         shuffle_partitions=int(os.environ.get("LOOP_SHUFFLE", "0"))
         or max(cores * 2, 16),
         extra_conf={
-            "spark.python.worker.reuse": "false",
+            "spark.python.worker.reuse": os.environ.get("PROF_REUSE", "false"),
             "spark.ui.enabled": "true",
             "spark.ui.port": str(ui_port),
         },

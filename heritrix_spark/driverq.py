@@ -6364,6 +6364,115 @@ def q_host_overlay_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _overlay_retry_fixture_keys() -> list[tuple[str, float | None, float | None]]:
+    from heritrix_spark.functions.canonicalize import canonicalize_py
+    from heritrix_spark.functions.surt import class_key_py
+
+    k = lambda n: class_key_py(canonicalize_py(f"http://host{n}.example/x"))
+    return [
+        (k(3), 1.0, 2.0),      # 1 retry max, 2 s retry delay
+        (k(17), None, 60.0),   # maxRetries falls through to global 30
+        (k(22), 50.0, None),   # delay falls through to global 900 s
+    ]
+
+
+def _host_overlay_retry_oracle() -> str:
+    from heritrix_spark.constants import (
+        DISREGARD_STATUSES,
+        RETRY_STATUSES,
+        S_DEFERRED,
+    )
+
+    ck = class_key_sql(canonicalize_sql("url"))
+    vals = ", ".join(
+        "('{}', {}, {})".format(
+            key,
+            "cast(null as double)" if mr is None else mr,
+            "cast(null as double)" if rd is None else rd,
+        )
+        for key, mr, rd in _overlay_retry_fixture_keys()
+    )
+    disregard = ", ".join(str(s) for s in DISREGARD_STATUSES)
+    retryable = ", ".join(str(s) for s in RETRY_STATUSES)
+    return f"""
+    with u as ({_DUCK_URLS}),
+    keyed as (select doc_id, fetch_status, attempts, {ck} as class_key
+              from u),
+    ov(class_key, o_mr, o_rd) as (select * from (values {vals}) t),
+    j as (select k.*, o_mr, o_rd
+          from keyed k left join ov using (class_key)),
+    d as (select *,
+            case when fetch_status > 0 then 'success'
+                 when fetch_status in ({disregard}) then 'disregard'
+                 when fetch_status in ({retryable})
+                      and attempts < cast(coalesce(o_mr, 30) as int)
+                      then 'retry'
+                 else 'failure' end as disposition
+          from j)
+    select cast(doc_id as bigint) as doc_id, class_key, disposition,
+           cast(case when disposition = 'retry' then
+                  case when fetch_status = {S_DEFERRED} then 0
+                       else cast(coalesce(o_rd, 900.0) * 1000 as bigint) end
+                else 0 end as bigint) as retry_wait_ms
+    from d order by doc_id
+    """
+
+
+@register("host_overlay_retry", _host_overlay_retry_oracle())
+def q_host_overlay_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host sheet overlays applied to the RETRY policy — the
+    KeyedProperties override of AbstractFrontier.retryDelaySeconds /
+    maxRetries (AbstractFrontier.java:104,116): the host_config
+    dimension broadcast-joins on the queue key (plans/round.py
+    _overlay, the crawl-loop code path) and null cells fall through to
+    the global config inside disposition_col / the retry-delay branch,
+    exactly like an absent sheet property."""
+    from heritrix_spark.constants import S_DEFERRED
+    from heritrix_spark.operators.budget import disposition_col
+    from heritrix_spark.plans.round import _overlay
+
+    u = _docs_urls(spark, sf_dir).withColumn(
+        "class_key", class_key_col(canonicalize_col("url"))
+    )
+    host_config = spark.createDataFrame(
+        _overlay_retry_fixture_keys(),
+        "class_key string, max_retries double, retry_delay_s double",
+    )
+    d = _overlay(u, host_config)
+    cfg = PolitenessConfig()
+    d = d.withColumn(
+        "disposition",
+        disposition_col(
+            F.col("fetch_status"),
+            F.col("attempts"),
+            cfg,
+            max_retries=F.col("__o_max_retries"),
+        ),
+    )
+    retry_wait = (
+        F.when(
+            F.col("disposition") == "retry",
+            F.when(F.col("fetch_status") == S_DEFERRED, F.lit(0)).otherwise(
+                (
+                    F.coalesce(
+                        F.col("__o_retry_delay_s"),
+                        F.lit(float(cfg.retry_delay_s)),
+                    )
+                    * 1000
+                ).cast("long")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "class_key",
+        "disposition",
+        retry_wait.alias("retry_wait_ms"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------- 47. corpus data-card accounting
 #
 # The "data card" every released corpus ships: per (split, source)

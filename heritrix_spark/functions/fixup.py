@@ -154,9 +154,14 @@ _TAILDOT_RE = re.compile(r"\.(:[0-9]+)?$")
 _LEADDOT_RE = re.compile(r"^\.")
 _P80_RE = re.compile(r":80$")
 _P443_RE = re.compile(r":443$")
+# per-rule containment triggers, parallel to _PRE_RULES — strict=True
+# fails loudly if someone extends _PRE_RULES without a trigger (the
+# silent zip truncation would desync the Python backend from the
+# Catalyst/Arrow ones)
+_PRE_TRIGGERS = ["\\", ":///"]
 _PRE_COMPILED = [
     (re.compile(p), _java_repl(r), n, t)
-    for (p, r, n), t in zip(_PRE_RULES, ["\\", ":///"])
+    for (p, r, n), t in zip(_PRE_RULES, _PRE_TRIGGERS, strict=True)
 ]
 _REST_COMPILED = [
     (re.compile(p), _java_repl(r), n) for p, r, n in _REST_RULES

@@ -41,9 +41,20 @@ def is_disregarded_col(fetch_status: Column) -> Column:
 
 
 def needs_retry_col(
-    fetch_status: Column, attempts: Column, cfg: PolitenessConfig = PolitenessConfig()
+    fetch_status: Column,
+    attempts: Column,
+    cfg: PolitenessConfig = PolitenessConfig(),
+    max_retries: Column | None = None,
 ) -> Column:
-    return fetch_status.isin(*RETRY_STATUSES) & (attempts < F.lit(cfg.max_retries))
+    """``max_retries`` (optional Column) is the per-host sheet override
+    of AbstractFrontier.maxRetries (AbstractFrontier.java:116); null
+    cells fall through to the global cfg like an absent sheet property."""
+    cap = (
+        F.coalesce(max_retries.cast("int"), F.lit(cfg.max_retries))
+        if max_retries is not None
+        else F.lit(cfg.max_retries)
+    )
+    return fetch_status.isin(*RETRY_STATUSES) & (attempts < cap)
 
 
 def retry_delay_ms_col(
@@ -62,12 +73,18 @@ def retry_delay_ms_col(
 
 
 def disposition_col(fetch_status: Column, attempts: Column,
-                    cfg: PolitenessConfig = PolitenessConfig()) -> Column:
-    """One of 'success' | 'disregard' | 'retry' | 'failure'."""
+                    cfg: PolitenessConfig = PolitenessConfig(),
+                    max_retries: Column | None = None) -> Column:
+    """One of 'success' | 'disregard' | 'retry' | 'failure'.
+    ``max_retries`` — optional per-host override column (see
+    :func:`needs_retry_col`)."""
     return (
         F.when(is_success_col(fetch_status), F.lit("success"))
         .when(is_disregarded_col(fetch_status), F.lit("disregard"))
-        .when(needs_retry_col(fetch_status, attempts, cfg), F.lit("retry"))
+        .when(
+            needs_retry_col(fetch_status, attempts, cfg, max_retries),
+            F.lit("retry"),
+        )
         .otherwise(F.lit("failure"))
     )
 

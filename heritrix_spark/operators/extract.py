@@ -50,6 +50,7 @@ def extract_outlinks(
     suppress_trap_pattern: str | None = None,
     meta_robots_col: str | None = None,
     carry_cols: tuple[str, ...] = (),
+    max_outlinks_col: str | None = None,
 ) -> DataFrame:
     """fetched(url, ordinal, fetch_status, hops_path, spans, ...) →
     links(via=url, parent_ordinal, target, hop_char, link_seq).
@@ -83,13 +84,20 @@ def extract_outlinks(
     array slice is exact (link_seq order IS array order by construction)
     and keeps extraction a single pipelined map stage feeding the URL-
     prep UDF with no exchange in between.
+
+    ``max_outlinks_col`` names a per-row (sheet-overlay) cap column —
+    the KeyedProperties override of AbstractFrontier.maxOutlinks
+    (AbstractFrontier.java:138); null cells fall through to the global
+    ``max_outlinks``.
     """
     # The whole expression set is static given the parameters —
     # built once per crawl, reused every round (functions/colcache.py).
     X = cached(
         ("extract_outlinks", max_outlinks, url_col, ordinal_col,
-         suppress_trap_pattern, carry_cols),
-        lambda: _extract_exprs(max_outlinks, url_col, ordinal_col, carry_cols),
+         suppress_trap_pattern, carry_cols, max_outlinks_col),
+        lambda: _extract_exprs(
+            max_outlinks, url_col, ordinal_col, carry_cols, max_outlinks_col
+        ),
     )
     eligible = fetched.filter(X["eligible"])
     if suppress_trap_pattern is not None:
@@ -109,6 +117,7 @@ def _extract_exprs(
     url_col: str,
     ordinal_col: str,
     carry_cols: tuple[str, ...] = (),
+    max_outlinks_col: str | None = None,
 ) -> dict:
     """Static Column trees for :func:`extract_outlinks` (cache payload)."""
     eligible = (
@@ -182,13 +191,19 @@ def _extract_exprs(
             ),
         )
     )
+    if max_outlinks_col is not None:
+        cap = F.coalesce(
+            F.col(max_outlinks_col).cast("int"), F.lit(max_outlinks)
+        )
+    else:
+        cap = F.lit(max_outlinks)
     doc_sel = (
         F.col(url_col).alias("via"),
         F.col(ordinal_col).alias("parent_ordinal"),
         F.col("hops_path").alias("via_hops_path"),
         *carried,
-        F.slice(all_links, 1, max_outlinks).alias("__links"),
-        F.greatest(F.size(all_links) - F.lit(max_outlinks), F.lit(0))
+        F.slice(all_links, F.lit(1), cap).alias("__links"),
+        F.greatest(F.size(all_links) - cap, F.lit(0))
         .cast("int")
         .alias("discarded_outlinks"),
     )

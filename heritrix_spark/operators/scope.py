@@ -141,9 +141,18 @@ def surt_prefix_join(df: DataFrame, url_col: str, prefixes: DataFrame) -> DataFr
     return marked.drop("__prefix").dropDuplicates(df.columns).drop("__surt")
 
 
-def too_many_hops_predicate(hops_path: Column, max_hops: int) -> Column:
-    """TooManyHopsDecideRule: hopCount > maxHops → REJECT."""
-    return hop_count_col(hops_path) > F.lit(max_hops)
+def too_many_hops_predicate(
+    hops_path: Column, max_hops: int, max_hops_col: Column | None = None
+) -> Column:
+    """TooManyHopsDecideRule: hopCount > maxHops → REJECT.
+    ``max_hops_col`` is the per-SURT sheet override (KeyedProperties);
+    null cells fall through to the global ``max_hops``."""
+    cap = (
+        F.coalesce(max_hops_col.cast("int"), F.lit(max_hops))
+        if max_hops_col is not None
+        else F.lit(max_hops)
+    )
+    return hop_count_col(hops_path) > cap
 
 
 def transclusion_predicate(
@@ -203,16 +212,23 @@ def default_scope(
     seed_surt_prefixes: list[str],
     cfg: PolitenessConfig = PolitenessConfig(),
     surt: Column | None = None,
+    max_hops_col: Column | None = None,
 ) -> Column:
     """The default scope chain (profile-crawler-beans.cxml:114-183) as one
-    boolean column: accept iff the last matching rule accepts."""
+    boolean column: accept iff the last matching rule accepts.
+    ``max_hops_col`` — optional per-SURT sheet override of the hop cap
+    (see :func:`too_many_hops_predicate`)."""
     rules = [
         Rule(
             "surt_prefix",
             surt_prefix_predicate(url, seed_surt_prefixes, surt=surt),
             True,
         ),
-        Rule("too_many_hops", too_many_hops_predicate(hops_path, cfg.max_hops), False),
+        Rule(
+            "too_many_hops",
+            too_many_hops_predicate(hops_path, cfg.max_hops, max_hops_col),
+            False,
+        ),
         Rule("transclusion", transclusion_predicate(hops_path), True),
         Rule("pathological", pathological_path_predicate(url), False),
         Rule("too_many_segments", too_many_path_segments_predicate(url), False),

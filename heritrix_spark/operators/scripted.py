@@ -8,11 +8,12 @@ engine every operator is "scripted by construction", but the round-3
 verdict noted no EXPLICIT hook-point API existed — this module is that
 contract, with the Spark execution model made explicit:
 
-- :func:`scripted_decide_rule` — the user hook is a COLUMN BUILDER
-  (``fn(df) -> boolean Column``): it composes into the DecideRule
-  fold and stays JVM-side (Catalyst/codegen — the fast path the rest
-  of scope.py uses). The script decides like ``decisionFor``, but at
-  plan-build time rather than per row.
+- :func:`scripted_decide_rule` — the user hook is a ZERO-ARGUMENT
+  COLUMN BUILDER (``fn() -> boolean Column``; reference candidate
+  columns by name, e.g. ``F.col("url")``): it composes into the
+  DecideRule fold and stays JVM-side (Catalyst/codegen — the fast
+  path the rest of scope.py uses). The script decides like
+  ``decisionFor``, but at plan-build time rather than per row.
 - :func:`scripted_decide_rule_py` — the per-URI escape hatch: a plain
   Python predicate ``fn(url) -> bool | None`` (None = PASS, like a
   DecideResult of NONE) run as ONE vectorized Arrow batch. This is the

@@ -54,18 +54,30 @@ def shard_col(
     BdbUriUniqFilter.createKey Rabin fingerprint
     (functions/rabin.py; goldens BdbUriUniqFilterTest.java:89-97) for
     byte-interop with a reference seen-set export — one vectorized
-    Arrow pass, host-prefixed so one authority's URLs share top bits."""
+    Arrow pass, host-prefixed so one authority's URLs share top bits.
+
+    NULL handling is aligned across backends: a NULL canon_url yields a
+    NULL shard under either fingerprint (membership code never shards
+    null keys; xxhash64 alone would hash the null away to the seed's
+    bucket and silently group all null keys together)."""
+    if fp not in ("xxhash64", "rabin"):
+        raise ValueError(
+            f"unknown seen-set fingerprint {fp!r} (expected 'xxhash64' or"
+            " 'rabin')"
+        )
     col = F.col(canon_url) if isinstance(canon_url, str) else canon_url
     if fp == "rabin":
         from heritrix_spark.functions.rabin import rabin_key_col
 
         return F.pmod(rabin_key_col(col), F.lit(n_shards)).cast("int")
-    return F.pmod(F.xxhash64(col), F.lit(n_shards)).cast("int")
+    return F.when(
+        col.isNotNull(), F.pmod(F.xxhash64(col), F.lit(n_shards))
+    ).cast("int")
 
 
 def collapse_batch_duplicates(
     candidates: DataFrame,
-    key: str = "canon_url",
+    key: str | tuple[str, ...] = "canon_url",
     order_cols: tuple[str, ...] = ("ordinal",),
 ) -> DataFrame:
     """Keep one row per key within the batch: the first by ``order_cols``.
@@ -82,20 +94,29 @@ def collapse_batch_duplicates(
     shuffle every row before it can rank. Same one shuffle on ``key``,
     strictly less data in flight — the difference that matters at
     10^10-candidate rounds.
+
+    ``key`` may be a composite, e.g. ``("shard", "canon_url")`` where
+    shard is a pure function of canon_url: grouping is then identical
+    to grouping by canon_url alone, but the aggregate's output
+    partitioning (and SortAggregate output order) already matches the
+    downstream seen anti-join's ``(shard, canon_url)`` keys, so
+    Catalyst reuses ONE exchange for collapse + anti-join instead of
+    shuffling the full candidate batch twice.
     """
+    keys = (key,) if isinstance(key, str) else tuple(key)
     cols = tuple(candidates.columns)
     packed, unpack_sel = cached(
-        ("collapse_batch_duplicates", cols, key, tuple(order_cols)),
-        lambda: _collapse_exprs(cols, key, tuple(order_cols)),
+        ("collapse_batch_duplicates", cols, keys, tuple(order_cols)),
+        lambda: _collapse_exprs(cols, keys, tuple(order_cols)),
     )
-    collapsed = candidates.groupBy(key).agg(packed)
-    return collapsed.select(key, *unpack_sel).select(*cols)
+    collapsed = candidates.groupBy(*keys).agg(packed)
+    return collapsed.select(*keys, *unpack_sel).select(*cols)
 
 
 def _collapse_exprs(
-    cols: tuple[str, ...], key: str, order_cols: tuple[str, ...]
+    cols: tuple[str, ...], keys: tuple[str, ...], order_cols: tuple[str, ...]
 ) -> tuple:
-    rest = [c for c in cols if c != key and c not in order_cols]
+    rest = [c for c in cols if c not in keys and c not in order_cols]
     packed = F.min(
         F.struct(*[F.col(c) for c in order_cols], *[F.col(c) for c in rest])
     ).alias("__first")
@@ -131,7 +152,10 @@ def dedup_candidates(
     if n_shards is not None and "shard" in url_seen.columns:
         on = ["shard", key]
         seen_keys = url_seen.select("shard", key)
-        candidates = candidates.withColumn("shard", shard_col(key, n_shards))
+        if "shard" not in candidates.columns:
+            candidates = candidates.withColumn(
+                "shard", shard_col(key, n_shards)
+            )
         drop_after = ["shard"]
     else:
         on = [key]

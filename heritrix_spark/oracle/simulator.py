@@ -408,7 +408,7 @@ def simulate(
                 status, duration = 200, _fetch_duration_ms(spans)
             else:
                 status, duration = 404, 25
-            disposition = disposition_py(status, uri.attempts, cfg)
+            disposition = disposition_py(status, uri.attempts, eff(ck))
 
             # extraction (robots.txt bodies are parsed, never link-mined)
             links: list[tuple[int, str, str]] = []
@@ -430,11 +430,17 @@ def simulate(
                     else:
                         if sp["media_ref"]:
                             links.append((span_pos * (1 << 20), sp["media_ref"], "E"))
-                links = links[: cfg.max_outlinks]
+                links = links[: eff(ck).max_outlinks]
 
             for link_seq, raw, hop in links:
                 child_hops = extend_hops_path_py(uri.hops_path, hop)
-                if not _in_scope(raw, child_hops, prefixes, cfg):
+                # scope-parameter overlays (maxHops) resolve by the
+                # CANDIDATE's own queue key, like the engine's
+                # candidate-side __o_max_hops join
+                canon_child = canonicalize_py(raw)
+                if not _in_scope(
+                    raw, child_hops, prefixes, eff(class_key_py(canon_child))
+                ):
                     res.out_of_scope += 1
                     continue
                 # seed promotion (CandidatesProcessor :183-188): a seed's
@@ -446,7 +452,7 @@ def simulate(
                     and hop_count_py(child_hops) < 5
                 )
                 all_candidates.append(
-                    (uri.ordinal, link_seq, canonicalize_py(raw), raw, child_hops,
+                    (uri.ordinal, link_seq, canon_child, raw, child_hops,
                      uri.canon_url, promoted, None, uri.source, promoted)
                 )
             if deferred:
@@ -456,9 +462,13 @@ def simulate(
                 m = re.match(r"^(https?://[^/]+)", uri.canon_url)
                 robots_url = m.group(1) + "/robots.txt"
                 child_hops = extend_hops_path_py(uri.hops_path, "P")
-                if _in_scope(robots_url, child_hops, prefixes, cfg):
+                canon_rob = canonicalize_py(robots_url)
+                if _in_scope(
+                    robots_url, child_hops, prefixes,
+                    eff(class_key_py(canon_rob)),
+                ):
                     all_candidates.append(
-                        (uri.ordinal, -1, canonicalize_py(robots_url), robots_url,
+                        (uri.ordinal, -1, canon_rob, robots_url,
                          child_hops, uri.canon_url, True, max(uri.directive - 1, 0),
                          uri.source, False)
                     )
@@ -481,7 +491,9 @@ def simulate(
                 delay = politeness_delay_py(duration, crawl_delay, eff(ck))
             elif disposition == "retry":
                 # retryDelayFor :836-841: S_DEFERRED does not snooze
-                delay = 0 if status == S_DEFERRED else cfg.retry_delay_s * 1000
+                delay = (
+                    0 if status == S_DEFERRED else eff(ck).retry_delay_s * 1000
+                )
             else:
                 delay = 0
             # bandwidth throttle (DispositionProcessor.java:263-290):

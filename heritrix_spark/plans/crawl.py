@@ -43,7 +43,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from heritrix_spark.constants import PolitenessConfig
-from heritrix_spark.plans.round import finalize_metrics, run_round, schedule_seeds
+from heritrix_spark.plans.round import (
+    clock_probe,
+    finalize_metrics,
+    run_round,
+    schedule_seeds,
+)
 from heritrix_spark.store.snapstore import SnapStore
 
 
@@ -137,6 +142,26 @@ def crawl(
     store = (store_factory or SnapStore)(store_root, spark)
     prefixes = seed_scope_prefixes_spark(seeds)
 
+    # Shuffle-partition auto-sizing for the loop: plan every exchange
+    # with a GENEROUS initial partition count and let AQE coalesce down
+    # to the advisory size (~round bytes / advisory per partition).
+    # Inheriting the session's fixed spark.sql.shuffle.partitions broke
+    # in exactly one direction at the 4x10^7-candidate soak cells: too
+    # few partitions -> 1.2 GB+ per shuffle partition -> spill, and
+    # throughput DROPPED as rounds grew. Over-provisioning the initial
+    # count is free (AQE merges tiny outputs), under-provisioning is
+    # not — so the loop floors it at 8x the core count unless the
+    # operator pinned one explicitly. Partition counts never affect
+    # results (the ordinal law is partition-invariant; pinned by the
+    # cross-parallelism md5-equal crawls in BENCH/LOOP_SCALE.md).
+    try:
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    except Exception:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(256, 8 * spark.sparkContext.defaultParallelism)),
+        )
+
     manifest = store.manifest()
     if reconsider_retired and manifest is not None:
         from heritrix_spark.operators.budget import reconsider_retired_queues
@@ -223,6 +248,13 @@ def crawl(
 
     import time as _time
 
+    # next round's clock/event probe, precomputed CONCURRENTLY with the
+    # previous round's write pool (see clock_probe). Deliberately NOT
+    # persisted in the manifest: a resumed process recomputes it once
+    # from committed state (same deterministic aggregates), which also
+    # makes it immune to cfg changes between process runs.
+    next_probe: dict | None = None
+
     while round_no < max_rounds:
         if stop_after_round is not None and round_no >= stop_after_round:
             break
@@ -256,7 +288,9 @@ def crawl(
             seen_blooms=seen_blooms,
             seen_cuckoo=seen_cuckoo,
             host_config=host_config,
+            probe=next_probe,
         )
+        next_probe = None
         if result.done:
             round_no -= 1
             break
@@ -363,32 +397,52 @@ def crawl(
                     finalize_metrics(result.metrics, result.metrics_agg.first())
                 )
             )
+        # next round's event probe, concurrent with the writes: its
+        # inputs are this round's output views over the same persisted
+        # intermediates the write jobs read, so round r+1 starts with
+        # ZERO serial driver actions before its own write batch
+        probe_holder: dict = {}
+        writes.append(
+            lambda: probe_holder.update(
+                clock_probe(
+                    result.frontier, result.host_state, result.future_uris, cfg
+                )
+            )
+        )
+        # redirect-promoted seeds widen the scope from the NEXT round
+        # (the round-discretized SeedListener.addedSeed); novel is
+        # persisted inside run_round, so this rides the pool as a tiny
+        # probe over this round's delta only
+        promoted_holder: list = []
+        if cfg.seeds_redirect_new_seeds:
+            writes.append(
+                lambda: promoted_holder.extend(
+                    result.frontier_delta.filter(
+                        F.col("is_seed") & (F.col("hops_path") != "")
+                    )
+                    .select("url")
+                    .distinct()
+                    .collect()
+                )
+            )
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=len(writes)) as pool:
             for f in [pool.submit(w) for w in writes]:
                 f.result()  # propagate the first failure
+        next_probe = probe_holder or None
         now_ms, max_ordinal = result.now_ms, result.max_ordinal
-        if cfg.seeds_redirect_new_seeds:
-            # redirect-promoted seeds widen the scope from the NEXT
-            # round (the round-discretized SeedListener.addedSeed).
-            # novel is persisted inside run_round, so this is a tiny
-            # post-write probe over this round's delta only.
+        if promoted_holder:
             from heritrix_spark.oracle.simulator import seed_scope_prefixes
 
-            promoted = (
-                result.frontier_delta.filter(
-                    F.col("is_seed") & (F.col("hops_path") != "")
-                )
-                .select("url")
-                .distinct()
-                .collect()
-            )
-            if promoted:
-                new = set(seed_scope_prefixes([r["url"] for r in promoted]))
-                if not new <= (base_prefixes | extra_prefixes):
-                    extra_prefixes |= new
-                    prefixes = sorted(base_prefixes | extra_prefixes)
+            new = set(seed_scope_prefixes([r["url"] for r in promoted_holder]))
+            if not new <= (base_prefixes | extra_prefixes):
+                extra_prefixes |= new
+                prefixes = sorted(base_prefixes | extra_prefixes)
+                # the wider scope can change next round's candidate set
+                # but not its clock/eligibility probe (scope acts on
+                # candidates, not on queue wake times), so next_probe
+                # stays valid
         # a re-run round after a crash replaces its own metrics entry
         # (wall_ms: real elapsed — plan + writes + commit — for the
         # LOOP_SCALE soak; the crawl clock itself stays virtual)

@@ -116,12 +116,22 @@ ROBOTS_URI_PATTERN = r"^https?://[^/]+/robots\.txt$"
 # A ``host_config(class_key, <subset of these>)`` dimension broadcast-
 # joins into the round; null (or absent host) falls through to the
 # global cfg, like an overlay falling through to the containing sheet.
+# Covered properties: politeness delay (delay_factor/min/max —
+# DispositionProcessor), budgets (WorkQueue), retry policy
+# (retryDelaySeconds/maxRetries — AbstractFrontier.java:104,116) and
+# the per-document outlink cap (maxOutlinks — AbstractFrontier.java:138).
+# The scope hop cap (TooManyHopsDecideRule maxHops) overlays on the
+# CANDIDATE side via a ``max_hops`` column, keyed by the candidate's
+# own queue key (see run_round).
 OVERLAY_COLS = (
     "delay_factor",
     "min_delay_ms",
     "max_delay_ms",
     "total_budget",
     "session_budget",
+    "retry_delay_s",
+    "max_retries",
+    "max_outlinks",
 )
 
 
@@ -348,9 +358,16 @@ def clock_probe(
     }
 
 
-def _round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) -> dict:
+def _round_exprs(
+    cfg: PolitenessConfig,
+    seed_prefixes: tuple[str, ...],
+    overlay_scope: bool = False,
+) -> dict:
     """The static Column trees of one crawl round, built ONCE per
-    (cfg, seed set) and reused by every round (functions/colcache.py).
+    (cfg, seed set, overlay flags) and reused by every round
+    (functions/colcache.py). ``overlay_scope`` = the host_config
+    dimension carries a ``max_hops`` column, so the scope tree reads
+    the candidate-side ``__o_max_hops`` overlay.
 
     The reference wires its processor chain once at crawl launch
     (profile-crawler-beans.cxml); re-building the equivalent Catalyst
@@ -360,12 +377,16 @@ def _round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) -> dict:
     against each round's plan; the only per-round values (round_no,
     now, max_ordinal) remain fresh literals inside run_round."""
     return cached(
-        ("round.exprs", cfg, seed_prefixes),
-        lambda: _build_round_exprs(cfg, seed_prefixes),
+        ("round.exprs", cfg, seed_prefixes, overlay_scope),
+        lambda: _build_round_exprs(cfg, seed_prefixes, overlay_scope),
     )
 
 
-def _build_round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) -> dict:
+def _build_round_exprs(
+    cfg: PolitenessConfig,
+    seed_prefixes: tuple[str, ...],
+    overlay_scope: bool = False,
+) -> dict:
     from heritrix_spark.constants import S_DEFERRED
     from heritrix_spark.functions.hops import extend_hops_path_col
     from heritrix_spark.functions.surt import url_prep_struct_col
@@ -436,8 +457,13 @@ def _build_round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) ->
         .otherwise(F.lit(0))
         .cast("long")
     )
+    # per-host maxRetries overlay: the __o_* columns always exist on the
+    # emitted rows (_overlay attaches all-null ones when no host_config)
     E["disposition"] = disposition_col(
-        F.col("fetch_status"), F.col("attempts"), cfg
+        F.col("fetch_status"),
+        F.col("attempts"),
+        cfg,
+        max_retries=F.col("__o_max_retries"),
     )
 
     # ---- candidates
@@ -487,6 +513,7 @@ def _build_round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) ->
         list(seed_prefixes),
         cfg,
         surt=F.col("__prep.surt"),
+        max_hops_col=F.col("__o_max_hops") if overlay_scope else None,
     )
     directive_plain = scheduling_directive_col(
         F.col("hops_path"), F.lit(NORMAL).cast("int"), cfg
@@ -552,7 +579,14 @@ def _build_round_exprs(cfg: PolitenessConfig, seed_prefixes: tuple[str, ...]) ->
         .when(
             F.col("disposition") == "retry",
             F.when(F.col("fetch_status") == S_DEFERRED, F.lit(0)).otherwise(
-                F.lit(cfg.retry_delay_s * 1000)
+                # per-host retryDelaySeconds overlay
+                (
+                    F.coalesce(
+                        F.col("__o_retry_delay_s"),
+                        F.lit(float(cfg.retry_delay_s)),
+                    )
+                    * 1000
+                ).cast("long")
             ),
         )
         .otherwise(F.lit(0))
@@ -746,7 +780,10 @@ def run_round(
         )
 
     # static expression templates, built once per crawl (colcache)
-    E = _round_exprs(cfg, tuple(seed_surt_prefixes))
+    overlay_scope = (
+        host_config is not None and "max_hops" in host_config.columns
+    )
+    E = _round_exprs(cfg, tuple(seed_surt_prefixes), overlay_scope)
     ready = eligible.filter(F.col("wake_time") <= F.lit(now))
     if cfg.max_hosts_per_round > 0:
         # precedence-ordered activation: best (lowest) queue precedence
@@ -792,6 +829,10 @@ def run_round(
     emitted = frontier.join(
         F.broadcast(pick), on="ordinal", how="leftsemi"
     ).join(F.broadcast(ready_hosts), on="class_key", how="inner")
+    # per-host sheet overlays attach HERE (O(ready hosts) rows, one
+    # broadcast join) so the __o_* columns ride the checkpoint and are
+    # visible to disposition/retry/delay/extraction alike
+    emitted = _overlay(emitted, host_config)
 
     # ---- fetch (spec step 2): robots gate + docs join
     emitted = join_robots(emitted, robots)  # adds robots_allowed, crawl_delay
@@ -855,6 +896,7 @@ def run_round(
         max_outlinks=cfg.max_outlinks,
         url_col="canon_url",
         carry_cols=("source", "is_seed"),
+        max_outlinks_col="__o_max_outlinks",
     )
     cands = links.select(*E["cands_sel"])
     if cfg.robots_prereq:
@@ -878,7 +920,22 @@ def run_round(
         )
         cands = cands.withColumn("force_fetch", base_force | F.col("is_seed"))
     cands = cands.withColumn("__prep", E["prep_col"])
+    if overlay_scope:
+        # scope-parameter overlay (TooManyHops maxHops) keys on the
+        # CANDIDATE's own queue key — the reference resolves sheet
+        # overlays by the SURT of the URI being decided, not its parent
+        ov_scope = host_config.select(
+            F.col("class_key").alias("__sck"),
+            F.col("max_hops").cast("double").alias("__o_max_hops"),
+        )
+        cands = cands.join(
+            F.broadcast(ov_scope),
+            on=cands["__prep.class_key"] == ov_scope["__sck"],
+            how="left",
+        ).drop("__sck")
     cands = cands.filter(E["scope_filter"])
+    if overlay_scope:
+        cands = cands.drop("__o_max_hops")
     cands = (
         cands.withColumn("canon_url", F.col("__prep.canon_url"))
         .withColumn("class_key", F.col("__prep.class_key"))
@@ -891,8 +948,16 @@ def run_round(
         cands = cands.drop("__directive_override")
 
     # ---- dedup + ordinals (spec step 5)
+    # The collapse groups by (shard, canon_url) — identical grouping
+    # (shard is a pure function of canon_url) but its output exchange
+    # and sort order already match the seen anti-join's keys, so the
+    # candidate batch crosses ONE shuffle for collapse + membership
+    # instead of two (see collapse_batch_duplicates).
+    cands = cands.withColumn("shard", E["seen_shard"])
     unique = collapse_batch_duplicates(
-        cands, key="canon_url", order_cols=("parent_ordinal", "link_seq")
+        cands,
+        key=("shard", "canon_url"),
+        order_cols=("parent_ordinal", "link_seq"),
     )
     if cfg.seen_bloom_bits > 0 and seen_blooms is not None:
         # bloom prefilter (BloomUriUniqFilter analog): definite misses
@@ -1005,15 +1070,14 @@ def run_round(
             futures_next = to_future
 
     # ---- host/budget update (spec step 6)
-    # per-host sheet overlays ride a broadcast join keyed on class_key;
+    # per-host sheet overlays were joined onto emitted (pre-checkpoint);
     # nulls fall back to global cfg inside each formula
     # (delay/bandwidth/expenditure trees live in _build_round_exprs:
     # retryDelayFor :836-841 — S_DEFERRED re-enqueues without snoozing;
     # bandwidth throttle DispositionProcessor.java:263-290, effective
     # wake = max(politeness wake, now + bytes*1000/(kb*1024)), integer
     # division keeps engine and oracle bit-identical.)
-    fetched_o = _overlay(fetched, host_config)
-    host_updates = fetched_o.select(
+    host_updates = fetched.select(
         "class_key",
         F.col("__o_total_budget"),
         F.col("__o_session_budget"),

@@ -185,8 +185,16 @@ class IcebergStore:
         if not self._exists(ROUNDS_TABLE):
             row.writeTo(self._tbl(ROUNDS_TABLE)).create()
         else:
-            # re-committed round (crash re-run) replaces its row; the
-            # append is the single atomic commit point of the round
+            # Normal path (fresh round): the append alone is the round's
+            # single atomic commit point. A RE-committed round (crash
+            # re-run) first deletes its stale row — two separate Iceberg
+            # commits, so a crash in between transiently regresses the
+            # visible round to round_no-1. That window is safe, not
+            # atomic: resume() re-runs from the last visible round and
+            # the idempotent per-round writes + this re-commit replace
+            # everything the half-done attempt left. (A single
+            # MERGE-on-round would close the window; kept as two ops so
+            # the common fresh-round path stays a plain fast append.)
             self.spark.sql(
                 f"DELETE FROM {self._tbl(ROUNDS_TABLE)} "
                 f"WHERE round >= {int(round_no)}"

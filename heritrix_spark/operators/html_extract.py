@@ -129,7 +129,7 @@ class _Page:
     """Mutable per-document extraction state (the CrawlURI analog)."""
 
     __slots__ = ("url", "base", "host", "scheme", "links", "seen",
-                 "discarded", "meta_robots", "max_outlinks")
+                 "discarded", "meta_robots", "max_outlinks", "_dest_memo")
 
     def __init__(self, url: str, max_outlinks: int = MAX_OUTLINKS):
         self.url = url
@@ -142,6 +142,12 @@ class _Page:
         self.discarded = 0
         self.meta_robots: Optional[str] = None
         self.max_outlinks = max_outlinks
+        # per-page (base, raw uri) → resolved+normalized destination.
+        # Real pages repeat the same hrefs (nav bars, per-item icons);
+        # resolve+fixup was ~45% of kernel CPU before memoization. The
+        # base participates in the key, so a mid-page <base href> change
+        # never reuses a stale resolution.
+        self._dest_memo: dict = {}
 
     def add(self, uri: str, context: str, hop: str) -> None:
         """Link.addRelativeToBase + outLinks HashSet + cap (Link.add2
@@ -149,7 +155,11 @@ class _Page:
         collapse duplicates, discard-and-count past maxOutlinks."""
         if not uri:
             return
-        dest = fixup_py(resolve_relative_py(self.base, uri))
+        memo_key = (self.base, uri)
+        dest = self._dest_memo.get(memo_key)
+        if dest is None:
+            dest = fixup_py(resolve_relative_py(self.base, uri))
+            self._dest_memo[memo_key] = dest
         key = (dest, context, hop)
         if key in self.seen:
             return
@@ -259,17 +269,31 @@ def _process_general_tag(page: _Page, element: str, cs: str,
     action = action_context = method = None
     value_val = value_context = name_val = None
     el = element.strip()
+    el_low = el.lower()
 
     for attr in _ATTR_RE.finditer(cs):
+        # uninteresting attributes (class/id/alt/type/data-* — group 13,
+        # which by alternation order only matches when no interesting
+        # group did) dominate real markup; dispatch them first with one
+        # probe instead of walking all twelve interesting-group probes
+        if attr.start(13) > -1:
+            low = attr.group(1).lower()
+            if low == "name":
+                name_val = _attr_value(attr)
+            elif low == "flashvars":
+                _consider_query_string_values(
+                    page, _attr_value(attr),
+                    element_context(element, attr.group(13)))
+            continue
         value = _attr_value(attr)
         attr_name = attr.group(1)
         if attr.start(2) > -1:  # HREF
             context = element_context(element, attr.group(2))
-            if el.lower() == "link":
+            if el_low == "link":
                 page.add(value, context, "E")
             else:
                 _process_link(page, value, context, extract_javascript)
-            if el.lower() == "base":
+            if el_low == "base":
                 # setBaseURI — affects subsequent links only (:381-388);
                 # UURIFactory.getInstance(value) is absolute-only (a
                 # relative href raises URIException and is logged)
@@ -283,7 +307,7 @@ def _process_general_tag(page: _Page, element: str, cs: str,
             _process_script_code(page, value, extract_javascript)
         elif attr.start(5) > -1:  # SRC family
             context = element_context(element, attr.group(5))
-            if not frames_as_embeds and el.lower() in ("frame", "iframe"):
+            if not frames_as_embeds and el_low in ("frame", "iframe"):
                 page.add(value, context, "L")
             else:
                 page.add(value, context, "E")
@@ -295,7 +319,7 @@ def _process_general_tag(page: _Page, element: str, cs: str,
         elif attr.start(8) > -1:  # ARCHIVE (space-delimited list)
             resources.extend(p for p in re.split(r"\s", value) if p)
         elif attr.start(9) > -1:  # CODE (applet gains .class)
-            if el.lower() == "applet" and not value.lower().endswith(".class"):
+            if el_low == "applet" and not value.lower().endswith(".class"):
                 resources.append(value + ".class")
             else:
                 resources.append(value)
@@ -307,12 +331,7 @@ def _process_general_tag(page: _Page, element: str, cs: str,
                 page.add(uri, EMBED_MISC, "E")
         elif attr.start(12) > -1:  # METHOD
             method = value
-        elif attr.start(13) > -1:
-            if attr_name.lower() == "name":
-                name_val = value
-            if attr_name.lower() == "flashvars":
-                _consider_query_string_values(
-                    page, value, element_context(element, attr.group(13)))
+        # (generic attributes — group 13 — were dispatched first above)
 
     if resources:
         # codebase resolves against the CrawlURI's own URI (:490-491
@@ -331,7 +350,7 @@ def _process_general_tag(page: _Page, element: str, cs: str,
             _process_link(page, action, action_context, extract_javascript)
 
     if value_val is not None:
-        if (el.lower() == "param" and name_val is not None
+        if (el_low == "param" and name_val is not None
                 and name_val.lower() == "flashvars"):
             _consider_query_string_values(page, value_val, value_context)
         elif extract_value_attributes and is_likely_uri_py(value_val):

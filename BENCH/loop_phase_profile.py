@@ -121,6 +121,7 @@ def main() -> None:
             f"{s['stageId']:>6} {s['numCompleteTasks']:>5} "
             f"{s.get('executorRunTime', 0)/1000:>8.1f} "
             f"{s.get('executorCpuTime', 0)/1e9:>8.1f} "
+            f"gc={s.get('jvmGcTime', 0)/1000:>6.1f} "
             f"{s.get('shuffleReadBytes', 0)/2**20:>7.0f}M "
             f"{s.get('shuffleWriteBytes', 0)/2**20:>7.0f}M  "
             f"{s['name'][:40]} | {site[:90]}"

@@ -99,16 +99,28 @@ shutil.rmtree(store_root, ignore_errors=True)
 import os as _os
 ui_port = 4100 + cores
 reuse = _os.environ.get("LOOP_WORKER_REUSE", "false")
+extra = {{"spark.python.worker.reuse": reuse,
+          "spark.ui.enabled": "true",
+          "spark.ui.port": str(ui_port)}}
+# LOOP_FIXED_PARTS pins AQE's initial shuffle partition count (the
+# pre-round-5 behavior where partitions never scaled with round bytes);
+# unset, crawl() floors it at 8x cores and AQE coalesces by size
+if _os.environ.get("LOOP_FIXED_PARTS"):
+    extra["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = \
+        _os.environ["LOOP_FIXED_PARTS"]
 spark = build_session(app_name=f"loopscale-{{cores}}", cores=cores,
                       shuffle_partitions=int(_os.environ.get("LOOP_SHUFFLE", "0")) or max(cores * 2, 16),
-                      extra_conf={{"spark.python.worker.reuse": reuse,
-                                   "spark.ui.enabled": "true",
-                                   "spark.ui.port": str(ui_port)}})
+                      extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(data + "/docs")
 seeds = spark.read.parquet(data + "/seeds")
 robots = spark.read.parquet(data + "/robots")
-cfg = PolitenessConfig()
+# LOOP_RECRAWL_MS >= 0 turns on the revisit/persist path (successful
+# seeds reschedule through future_uris; every round then also filters
+# and re-injects due futures at full scale)
+cfg = PolitenessConfig(
+    recrawl_interval_ms=int(_os.environ.get("LOOP_RECRAWL_MS", "-1"))
+)
 
 t0 = time.monotonic()
 res = crawl(spark, store_root, docs, seeds, robots, cfg,

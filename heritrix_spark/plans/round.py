@@ -506,6 +506,15 @@ def _build_round_exprs(
             .alias("__directive_override"),
             F.lit(True).alias("force_fetch"),
         )
+    # URL-prep + scope wiring. The prep struct carries the SURT string;
+    # past the OR-chain threshold the prefix rule becomes the bisect
+    # membership kernel over it (scope.surt_prefix_member_col — a
+    # second, chained Arrow stage). NOTE a fused variant (bisect inside
+    # the prep UDF, no SURT across Arrow, one Python stage) measured
+    # ~30% FASTER in isolation but reliably ~80% slower inside the full
+    # loop (unexplained JVM-side cost inflation, not GC — A/B'd both
+    # ways at the 10^7 soak, see BENCH/LOOP_SCALE.md round-5 notes), so
+    # the two-stage shape is deliberate.
     E["prep_col"] = url_prep_struct_col("url")
     E["scope_filter"] = default_scope(
         F.col("url"),

@@ -72,3 +72,4 @@ def test_predicate_switches_and_survives_25k_prefixes(spark):
         # own host prefix; the nomatch row must not
         want = r.surt.startswith("http://(example")
         assert r.m == want, r.surt
+
